@@ -1,0 +1,24 @@
+"""thyroid_tpu — TPU-native (JAX/XLA/Pallas/pjit) framework for CNN-vs-ViT
+comparison on CARS thyroid microscopy images.
+
+A ground-up rebuild of the capabilities of gogolB/thyroid-vit-cnn-comparison
+(reference mounted at /root/reference) designed TPU-first:
+
+- On-device, fused image preprocessing (resize / gamma / CLAHE / percentile
+  normalisation / Anscombe) replacing the reference's per-image CPU cv2
+  pipeline (reference: src/data/quality_preprocessing.py).
+- One unified flax model zoo behind a registry (reference: src/models/registry.py)
+  covering ResNet / DenseNet / EfficientNet / Inception CNNs and
+  ViT / DeiT / Swin transformers — no timm dependency.
+- A single functional training engine (train-state + composable loss
+  strategies) replacing the reference's three LightningModules
+  (reference: src/training/lightning_modules.py).
+- SPMD data-parallel training over a `jax.sharding.Mesh` (ICI), with optional
+  model/fsdp axes — replacing the reference's single-device PL Trainer.
+- K-fold / distillation / ablation / all-models experiment orchestration
+  (reference: src/experiment/).
+- On-device analysis (GradCAM via jax.grad on captured activations,
+  attention maps) replacing torch hooks (reference: scripts/generate_vit_gradcam.py).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,13 @@
+from .mesh import (
+    create_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    fsdp_param_sharding,
+    local_device_count,
+)
+
+__all__ = [
+    "create_mesh", "batch_sharding", "replicated", "shard_batch",
+    "fsdp_param_sharding", "local_device_count",
+]
