@@ -8,6 +8,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# A sitecustomize hook may force-register a TPU plugin and prepend it to
+# jax_platforms; pin back to CPU so tests never touch (or contend for) the TPU.
+jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,201 @@
+"""Golden-value tests: on-device ops vs cv2/numpy reference semantics.
+
+Mirrors the reference's numeric unit-test strategy for transforms
+(reference tests: tests/unit/test_quality_preprocessing.py, test_transforms.py)
+but asserts against the *actual* cv2/numpy ops the reference delegates to.
+"""
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thyroid_tpu.ops import (
+    adaptive_normalize, anscombe, bilateral_filter, clahe_8bit, clahe_uint16,
+    gamma_correct, inverse_anscombe, median_filter_3x3, per_image_quantile,
+    quality_issue_masks, quality_preprocess, resize_and_normalize,
+    resize_bilinear, suppress_artifacts, to_uint16_scale,
+)
+
+RS = np.random.RandomState(7)
+
+
+def u16_batch(b=2, h=64, w=64):
+    return (RS.rand(b, h, w, 1) * 65535).astype(np.float32)
+
+
+@pytest.mark.unit
+class TestScaleOps:
+    def test_uint8_upscale(self):
+        x = np.array([[0, 255]], dtype=np.uint8).reshape(1, 1, 2, 1)
+        out = np.asarray(to_uint16_scale(jnp.asarray(x)))
+        assert out[0, 0, 1, 0] == 65535.0  # 255*257, reference dataset.py:527
+
+    def test_gamma_matches_numpy(self):
+        x = u16_batch()
+        got = np.asarray(gamma_correct(jnp.asarray(x), 0.8))
+        want = ((x / 65535.0) ** 0.8 * 65535).astype(np.uint16).astype(np.float32)
+        assert np.abs(got - want).max() <= 1.0
+
+    def test_anscombe_roundtrip(self):
+        x = jnp.asarray(u16_batch())
+        back = inverse_anscombe(anscombe(x))
+        assert np.allclose(np.asarray(back), np.asarray(x), rtol=1e-4, atol=0.5)
+
+    def test_adaptive_normalize_percentile(self):
+        x = u16_batch()
+        got = np.asarray(adaptive_normalize(jnp.asarray(x)))
+        for i in range(x.shape[0]):
+            lo, hi = np.percentile(x[i], [1, 99])
+            want = np.clip(x[i], lo, hi)
+            want = (want - lo) / (hi - lo + 1e-8)
+            assert np.allclose(got[i], want, atol=5e-3)
+        assert got.min() >= 0.0 and got.max() <= 1.0
+
+    def test_adaptive_normalize_minmax(self):
+        x = u16_batch()
+        got = np.asarray(adaptive_normalize(jnp.asarray(x), method="minmax"))
+        assert np.isclose(got.min(), 0.0, atol=1e-5)
+        assert np.isclose(got.max(), 1.0, atol=1e-5)
+
+    def test_per_image_quantile(self):
+        x = u16_batch(3)
+        got = np.asarray(per_image_quantile(jnp.asarray(x), 0.999)).ravel()
+        want = np.array([np.quantile(x[i], 0.999) for i in range(3)])
+        assert np.allclose(got, want, rtol=1e-3)
+
+
+@pytest.mark.unit
+class TestResize:
+    def test_matches_cv2_bilinear(self):
+        x = u16_batch(1, 64, 64)
+        got = np.asarray(resize_bilinear(jnp.asarray(x), 32))[0, :, :, 0]
+        want = cv2.resize(x[0, :, :, 0], (32, 32), interpolation=cv2.INTER_LINEAR)
+        assert np.abs(got - want).max() / 65535.0 < 0.02
+
+    def test_resize_and_normalize_range(self):
+        out = np.asarray(resize_and_normalize(jnp.asarray(u16_batch()), 32))
+        assert out.shape == (2, 32, 32, 1)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+@pytest.mark.unit
+class TestSpatialFilters:
+    def test_median_matches_cv2(self):
+        x = (RS.rand(1, 32, 32, 1) * 255).astype(np.float32)
+        got = np.asarray(median_filter_3x3(jnp.asarray(x)))[0, :, :, 0]
+        want = cv2.medianBlur(x[0, :, :, 0].astype(np.uint8), 3).astype(np.float32)
+        # interior must match exactly; cv2 border handling differs slightly
+        assert np.array_equal(np.floor(got[1:-1, 1:-1]), want[1:-1, 1:-1])
+
+    def test_bilateral_close_to_cv2(self):
+        img = (RS.rand(32, 32) * 255).astype(np.float32)
+        got = np.asarray(bilateral_filter(jnp.asarray(img[None, ..., None])))[0, :, :, 0]
+        want = cv2.bilateralFilter(img.astype(np.uint8), 5, 50, 50).astype(np.float32)
+        diff = np.abs(got[2:-2, 2:-2] - want[2:-2, 2:-2])
+        # cv2 quantises its colour gaussian into a LUT and truncates the
+        # spatial window at radius d/2 — measured median offset ≈5.
+        assert np.median(diff) <= 8.0
+        assert diff.mean() <= 10.0
+
+
+@pytest.mark.unit
+@pytest.mark.quality
+class TestCLAHE:
+    def test_matches_cv2_8bit(self):
+        img = (RS.rand(64, 64) * 255).astype(np.uint8)
+        got = np.asarray(clahe_8bit(jnp.asarray(img[None].astype(np.float32)),
+                                    clip_limit=2.0, grid=(8, 8)))[0]
+        want = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8)).apply(img)
+        diff = np.abs(got - want.astype(np.float32))
+        # integer-exact redistribution: only ±0.5 rounding differences remain
+        assert diff.max() <= 1.0
+
+    def test_matches_cv2_low_clip(self):
+        img = (RS.rand(64, 64) * 40 + 100).astype(np.uint8)  # low contrast
+        got = np.asarray(clahe_8bit(jnp.asarray(img[None].astype(np.float32)),
+                                    clip_limit=0.03, grid=(16, 16)))[0]
+        want = cv2.createCLAHE(clipLimit=0.03, tileGridSize=(16, 16)).apply(img)
+        assert np.abs(got - want.astype(np.float32)).mean() < 2.0
+
+    def test_uint16_roundtrip_preserves_range(self):
+        x = u16_batch(2)
+        out = np.asarray(clahe_uint16(jnp.asarray(x), 2.0, (8, 8)))
+        for i in range(2):
+            assert out[i].min() >= x[i].min() - 300
+            assert out[i].max() <= x[i].max() + 300
+
+    def test_flat_image_identity(self):
+        x = jnp.full((1, 32, 32, 1), 1234.0)
+        out = np.asarray(clahe_uint16(x, 2.0, (8, 8)))
+        assert np.array_equal(out, np.full((1, 32, 32, 1), 1234.0))
+
+
+@pytest.mark.unit
+@pytest.mark.quality
+class TestQualityDetection:
+    """Thresholds from reference src/data/quality_preprocessing.py:85-112."""
+
+    def _masks(self, img):
+        return jax.tree.map(np.asarray,
+                            quality_issue_masks(jnp.asarray(img[None, ..., None])))
+
+    def test_extreme_dark(self):
+        img = np.full((64, 64), 100.0, dtype=np.float32)
+        m = self._masks(img)
+        assert m["extreme_dark"][0] and not m["low_contrast"][0]
+
+    def test_low_contrast(self):
+        img = (RS.rand(64, 64) * 60 + 5000).astype(np.float32)  # std≈17<80, mean>150
+        m = self._masks(img)
+        assert m["low_contrast"][0] and not m["extreme_dark"][0]
+
+    def test_artifacts_ratio(self):
+        img = np.full((64, 64), 500.0, dtype=np.float32)
+        img[0, 0] = 60000.0  # max/mean > 30
+        m = self._masks(img)
+        assert m["artifacts"][0]
+
+    def test_clean_image(self):
+        img = (RS.rand(64, 64) * 3000 + 4000).astype(np.float32)
+        m = self._masks(img)
+        assert not any(v[0] for v in m.values())
+
+
+@pytest.mark.unit
+@pytest.mark.quality
+class TestQualityPipeline:
+    def test_clean_images_pass_through(self):
+        x = (RS.rand(2, 64, 64, 1) * 3000 + 4000).astype(np.float32)
+        out = np.asarray(quality_preprocess(jnp.asarray(x)))
+        assert np.allclose(out, x)
+
+    def test_dark_images_brightened(self):
+        x = (RS.rand(2, 64, 64, 1) * 80).astype(np.float32)  # mean < 150
+        out = np.asarray(quality_preprocess(jnp.asarray(x)))
+        assert out.mean() > x.mean()
+
+    def test_artifact_suppression_reduces_max(self):
+        x = (RS.rand(1, 64, 64, 1) * 400 + 300).astype(np.float32)
+        x[0, 5, 5, 0] = 65000.0
+        out = np.asarray(suppress_artifacts(jnp.asarray(x)))
+        assert out.max() < 65000.0
+
+    def test_overcorrection_guard(self):
+        # A nearly-black image would be brightened >10×; guard must blend back.
+        x = np.full((1, 64, 64, 1), 2.0, dtype=np.float32)
+        x[0, :8] = 10.0
+        out = np.asarray(quality_preprocess(jnp.asarray(x)))
+        assert out.mean() <= x.mean() * 10.0 + 1.0
+
+    def test_jit_stability_mixed_batch(self):
+        # dark + clean + artifact in one batch, branchless selection
+        dark = (RS.rand(64, 64, 1) * 80).astype(np.float32)
+        clean = (RS.rand(64, 64, 1) * 3000 + 4000).astype(np.float32)
+        art = np.full((64, 64, 1), 500.0, dtype=np.float32)
+        art[2, 2, 0] = 64000.0
+        x = np.stack([dark, clean, art])
+        out = np.asarray(quality_preprocess(jnp.asarray(x)))
+        assert np.allclose(out[1], clean)          # clean untouched
+        assert out[0].mean() > dark.mean()          # dark brightened
+        assert out[2].max() < 64000.0               # artifact clipped

@@ -1,0 +1,150 @@
+"""Batched CLAHE (Contrast-Limited Adaptive Histogram Equalization) on device.
+
+Rebuilds the semantics of the reference's cv2-based CLAHE round-trip
+(reference: src/data/quality_preprocessing.py:125-147):
+
+  1. normalise the uint16 image to its own [min, max] → 8-bit (0..255)
+  2. CLAHE on the 8-bit image: per-tile histogram → clip at
+     `clip_limit * tile_area / 256` → redistribute excess → CDF → LUT,
+     then bilinear interpolation between the 4 neighbouring tile LUTs
+  3. scale back to the original [min, max] uint16 range
+
+TPU-first formulation: per-tile CDFs are computed with a *sort +
+searchsorted* sweep (no scatter — XLA scatters serialise on TPU), tile LUT
+lookup is a batched gather, and the 4-tile bilinear blend is pure VPU math.
+The whole thing is jit-able with static grid size, batched over images.
+
+Deviation from cv2 (documented): excess redistribution adds `excess/256`
+uniformly as float instead of cv2's integer step distribution — differences
+are sub-1-bin and wash out through the ±0.5 rounding of the LUT.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _tile_cdfs(x8: jnp.ndarray, grid: tuple[int, int], clip_limit: float) -> jnp.ndarray:
+    """Per-tile clipped-histogram CDF-based LUTs.
+
+    x8: (B, H, W) float in [0, 255] (integer-valued bins).
+    Returns luts: (B, gh, gw, 256) float LUT (0..255).
+    """
+    b, h, w = x8.shape
+    gh, gw = grid
+    th, tw = h // gh, w // gw
+    area = th * tw
+
+    tiles = x8.reshape(b, gh, th, gw, tw).transpose(0, 1, 3, 2, 4).reshape(b, gh, gw, area)
+    tiles_sorted = jnp.sort(tiles, axis=-1)
+
+    # cdf_raw[v] = #pixels <= v, via vectorised binary search over 256 bin edges.
+    edges = jnp.arange(256, dtype=x8.dtype) + 0.5
+
+    def searchsorted_tile(sorted_tile):
+        return jnp.searchsorted(sorted_tile, edges, side="left")
+
+    cdf_raw = jax.vmap(jax.vmap(jax.vmap(searchsorted_tile)))(tiles_sorted)
+    cdf_raw = cdf_raw.astype(jnp.float32)                      # (b, gh, gw, 256)
+    hist = jnp.diff(cdf_raw, axis=-1, prepend=0.0)
+
+    # Clip + redistribute, integer-exact to cv2's clahe.cpp: the absolute clip
+    # limit is max(int(clipLimit·area/256), 1); every bin gains excess//256,
+    # and the residual is dropped +1 at a time on bins 0, step, 2·step, …
+    # with step = max(256//residual, 1).
+    clip = float(max(int(clip_limit * area / 256.0), 1))
+    clipped = jnp.minimum(hist, clip)
+    excess = (hist - clipped).sum(axis=-1, keepdims=True)
+    batch_inc = jnp.floor(excess / 256.0)
+    residual = excess - batch_inc * 256.0
+    step = jnp.maximum(jnp.floor(256.0 / jnp.maximum(residual, 1.0)), 1.0)
+    bins = jnp.arange(256, dtype=jnp.float32)
+    residual_inc = jnp.where(
+        (jnp.mod(bins, step) == 0) & (jnp.floor(bins / step) < residual), 1.0, 0.0
+    )
+    redistributed = clipped + batch_inc + residual_inc
+
+    cdf = jnp.cumsum(redistributed, axis=-1)
+    # cv2 LUT: saturate_cast<uchar>(cdf * (255 / area))
+    luts = jnp.clip(jnp.round(cdf * (255.0 / area)), 0.0, 255.0)
+    return luts
+
+
+def _interp_luts(x8: jnp.ndarray, luts: jnp.ndarray, grid: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear interpolation between the 4 neighbouring tile LUTs.
+
+    x8: (B, H, W) bins; luts: (B, gh, gw, 256) → (B, H, W) float 0..255.
+    """
+    b, h, w = x8.shape
+    gh, gw = grid
+    th, tw = h // gh, w // gw
+
+    # Tile coordinates exactly as cv2's clahe.cpp: tyf = y/th − 0.5,
+    # ty1 = floor(tyf) (then clamped), weight = tyf − floor(tyf); the edge
+    # tiles' mappings extend outwards via the index clamp.
+    ys = jnp.arange(h, dtype=jnp.float32) / th - 0.5
+    xs = jnp.arange(w, dtype=jnp.float32) / tw - 0.5
+    wy = (ys - jnp.floor(ys))[None, :, None]                   # (1, H, 1)
+    wx = (xs - jnp.floor(xs))[None, None, :]                   # (1, 1, W)
+    # Second index comes from the *unclamped* floor (cv2: ty2 = ty1+1 before
+    # the clamps), so at the left/top edge both indices collapse to tile 0.
+    y0f = jnp.floor(ys)
+    x0f = jnp.floor(xs)
+    y0 = jnp.clip(y0f, 0, gh - 1).astype(jnp.int32)
+    x0 = jnp.clip(x0f, 0, gw - 1).astype(jnp.int32)
+    y1 = jnp.clip(y0f + 1, 0, gh - 1).astype(jnp.int32)
+    x1 = jnp.clip(x0f + 1, 0, gw - 1).astype(jnp.int32)
+
+    v = jnp.clip(x8, 0, 255).astype(jnp.int32)                 # (B, H, W)
+
+    def gather(yy, xx):
+        # luts[b, yy[h], xx[w], v[b,h,w]] → (B, H, W)
+        lut_rows = luts[:, yy, :, :][:, :, xx, :]              # (B, H, W, 256)
+        return jnp.take_along_axis(lut_rows, v[..., None], axis=-1)[..., 0]
+
+    f00 = gather(y0, x0)
+    f01 = gather(y0, x1)
+    f10 = gather(y1, x0)
+    f11 = gather(y1, x1)
+    top = f00 * (1 - wx) + f01 * wx
+    bot = f10 * (1 - wx) + f11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+@partial(jax.jit, static_argnames=("grid", "clip_limit"))
+def clahe_8bit(x8: jnp.ndarray, clip_limit: float = 2.0,
+               grid: tuple[int, int] = (8, 8)) -> jnp.ndarray:
+    """CLAHE on integer-valued (B, H, W) arrays in [0, 255]. H, W must be
+    divisible by the grid (true for all reference sizes: 512/16, 512/32,
+    224/32, 256/16 …)."""
+    b, h, w = x8.shape
+    gh, gw = grid
+    if h % gh or w % gw:
+        raise ValueError(f"image {h}x{w} not divisible by CLAHE grid {grid}")
+    luts = _tile_cdfs(x8, grid, clip_limit)
+    return _interp_luts(x8, luts, grid)
+
+
+@partial(jax.jit, static_argnames=("grid", "clip_limit"))
+def clahe_uint16(x: jnp.ndarray, clip_limit: float = 2.0,
+                 grid: tuple[int, int] = (8, 8)) -> jnp.ndarray:
+    """Range-preserving uint16 CLAHE round-trip (reference:
+    src/data/quality_preprocessing.py:125-147).
+
+    x: (B, H, W, 1) float on the uint16 scale. Flat images pass through.
+    """
+    b, h, w, _ = x.shape
+    img = x[..., 0]
+    flat = img.reshape(b, -1)
+    lo = flat.min(axis=1).reshape(b, 1, 1)
+    hi = flat.max(axis=1).reshape(b, 1, 1)
+    span = hi - lo
+    norm01 = (img - lo) / (span + 1e-8)
+    x8 = jnp.floor(norm01 * 255.0)                             # uint8 cast truncates
+    eq = clahe_8bit(x8, clip_limit=clip_limit, grid=grid)
+    out = eq / 255.0 * span + lo
+    out = jnp.clip(out, 0.0, 65535.0)
+    out = jnp.where(span <= 0, img, out)                       # flat image → identity
+    return jnp.floor(out)[..., None]                            # uint16 cast truncates

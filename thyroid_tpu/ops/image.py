@@ -1,0 +1,330 @@
+"""Batched, on-device image ops (XLA) — the TPU-native replacement for the
+reference's per-image CPU cv2/scipy preprocessing.
+
+Reference behaviors rebuilt here (semantics, not code):
+- uint16 coercion + /65535 normalisation (reference: src/data/dataset.py:525-551)
+- gamma correction on [0,1]^γ in uint16 space (src/data/quality_preprocessing.py:114-123)
+- percentile clip + median + conditional bilateral artifact suppression (:149-170)
+- per-image adaptive percentile / minmax normalisation (:282-339)
+- Anscombe variance-stabilising transform (src/data/transforms.py:24)
+- quality-issue detection thresholds (:85-112)
+
+All functions take NHWC float32 batches and are jit/vmap-friendly: no Python
+branching on data, everything masked with `jnp.where`.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+UINT16_MAX = 65535.0
+
+
+# ---------------------------------------------------------------------------
+# dtype / scale plumbing
+# ---------------------------------------------------------------------------
+
+def to_uint16_scale(x: jnp.ndarray) -> jnp.ndarray:
+    """Coerce uint8/uint16/float arrays to float32 on the uint16 value scale.
+
+    uint8 inputs are upscaled ×257 so 255 → 65535, matching the reference's
+    coercion chain (reference: src/data/dataset.py:525-529).
+    """
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) * 257.0
+    return x.astype(jnp.float32)
+
+
+def normalize_uint16(x: jnp.ndarray) -> jnp.ndarray:
+    """uint16-scale → [0,1] (reference: src/data/dataset.py:542)."""
+    return x / UINT16_MAX
+
+
+# ---------------------------------------------------------------------------
+# resize
+# ---------------------------------------------------------------------------
+
+def _bilinear_weight_matrix(in_size: int, out_size: int) -> jnp.ndarray:
+    """Dense (out, in) bilinear sampling matrix with cv2.INTER_LINEAR
+    coordinate semantics: src = (dst+0.5)·scale − 0.5, border-clamped with
+    zeroed fractional weight (no antialiasing — unlike jax.image.resize)."""
+    scale = in_size / out_size
+    src = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+    sx = jnp.floor(src)
+    fx = src - sx
+    fx = jnp.where(sx < 0, 0.0, fx)
+    sx = jnp.maximum(sx, 0)
+    fx = jnp.where(sx >= in_size - 1, 0.0, fx)
+    sx = jnp.minimum(sx, max(in_size - 2, 0)).astype(jnp.int32)
+    i1 = jnp.minimum(sx + 1, in_size - 1)
+    w0 = jax.nn.one_hot(sx, in_size, dtype=jnp.float32) * (1.0 - fx)[:, None]
+    w1 = jax.nn.one_hot(i1, in_size, dtype=jnp.float32) * fx[:, None]
+    return w0 + w1
+
+
+def resize_bilinear(x: jnp.ndarray, size: int | tuple[int, int]) -> jnp.ndarray:
+    """Batched bilinear resize as two separable weight-matrix contractions —
+    rides the MXU instead of gather units, and matches cv2.INTER_LINEAR
+    (the reference's resize — src/data/dataset.py:539) rather than
+    jax.image.resize's antialiased downscale.
+
+    x: (B, H, W, C) → (B, h, w, C).
+    """
+    if isinstance(size, int):
+        size = (size, size)
+    _, h, w, _ = x.shape
+    wh = _bilinear_weight_matrix(h, size[0])
+    ww = _bilinear_weight_matrix(w, size[1])
+    out = jnp.einsum("oh,bhwc->bowc", wh, x, preferred_element_type=jnp.float32)
+    return jnp.einsum("pw,bowc->bopc", ww, out, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# intensity ops
+# ---------------------------------------------------------------------------
+
+def gamma_correct(x: jnp.ndarray, gamma: float | jnp.ndarray) -> jnp.ndarray:
+    """Gamma on the uint16 scale: (x/65535)^γ · 65535, round-trip through the
+    reference's uint16 cast (reference: src/data/quality_preprocessing.py:114-123)."""
+    xn = jnp.clip(x / UINT16_MAX, 0.0, 1.0)
+    out = jnp.power(xn, gamma) * UINT16_MAX
+    return jnp.floor(out)  # uint16 cast truncates
+
+
+def anscombe(x: jnp.ndarray) -> jnp.ndarray:
+    """Anscombe variance-stabilising transform for Poisson noise
+    (reference: src/data/transforms.py:24, scripts/preprocess_images.py:32-37)."""
+    return 2.0 * jnp.sqrt(x + 3.0 / 8.0)
+
+
+def inverse_anscombe(y: jnp.ndarray) -> jnp.ndarray:
+    return jnp.square(y / 2.0) - 3.0 / 8.0
+
+
+def per_image_quantile(x: jnp.ndarray, q: float | jnp.ndarray) -> jnp.ndarray:
+    """Per-image quantile over H,W,C. x: (B,H,W,C) → (B,1,1,1)."""
+    b = x.shape[0]
+    flat = x.reshape(b, -1)
+    out = jnp.quantile(flat, jnp.asarray(q), axis=1)
+    return out.reshape(b, 1, 1, 1)
+
+
+def adaptive_normalize(
+    x: jnp.ndarray,
+    method: str = "percentile",
+    percentiles: tuple[float, float] = (1.0, 99.0),
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Per-image normalisation to [0,1] (reference:
+    src/data/quality_preprocessing.py:282-339 AdaptiveNormalization)."""
+    if method == "percentile":
+        p_low = per_image_quantile(x, percentiles[0] / 100.0)
+        p_high = per_image_quantile(x, percentiles[1] / 100.0)
+        x = jnp.clip(x, p_low, p_high)
+        return (x - p_low) / (p_high - p_low + eps)
+    if method == "minmax":
+        b = x.shape[0]
+        flat = x.reshape(b, -1)
+        x_min = flat.min(axis=1).reshape(b, 1, 1, 1)
+        x_max = flat.max(axis=1).reshape(b, 1, 1, 1)
+        return (x - x_min) / (x_max - x_min + eps)
+    raise ValueError(f"unknown normalisation method {method!r}")
+
+
+def standardize(x: jnp.ndarray, mean, std) -> jnp.ndarray:
+    """Channelwise (x-mean)/std; mean/std are per-channel sequences."""
+    mean = jnp.asarray(mean, dtype=x.dtype).reshape(1, 1, 1, -1)
+    std = jnp.asarray(std, dtype=x.dtype).reshape(1, 1, 1, -1)
+    return (x - mean) / std
+
+
+# ---------------------------------------------------------------------------
+# quality-issue detection
+# ---------------------------------------------------------------------------
+
+def quality_stats(x: jnp.ndarray) -> dict[str, jnp.ndarray]:
+    """Per-image mean/std/max over H,W,C. x: (B,H,W,C), uint16 scale."""
+    b = x.shape[0]
+    flat = x.reshape(b, -1)
+    return {
+        "mean": flat.mean(axis=1),
+        "std": flat.std(axis=1),
+        "max": flat.max(axis=1),
+        "min": flat.min(axis=1),
+    }
+
+
+def quality_issue_masks(
+    x: jnp.ndarray,
+    extreme_dark_threshold: float = 150.0,
+    low_contrast_threshold: float = 80.0,
+    artifact_ratio_threshold: float = 30.0,
+) -> dict[str, jnp.ndarray]:
+    """Branchless issue detection (reference thresholds:
+    src/data/quality_preprocessing.py:85-112 — dark: mean<150;
+    low-contrast: elif std<80; artifacts: max/mean>30). Returns (B,) bool masks."""
+    s = quality_stats(x)
+    dark = s["mean"] < extreme_dark_threshold
+    low_contrast = jnp.logical_and(~dark, s["std"] < low_contrast_threshold)
+    ratio = s["max"] / jnp.maximum(s["mean"], 1e-8)
+    artifacts = jnp.logical_and(s["mean"] > 0, ratio > artifact_ratio_threshold)
+    return {"extreme_dark": dark, "low_contrast": low_contrast, "artifacts": artifacts}
+
+
+# ---------------------------------------------------------------------------
+# spatial filters (shifted-stack formulation — fully vectorised on the VPU)
+# ---------------------------------------------------------------------------
+
+def _shifted_stack(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """All (2r+1)² edge-padded spatial shifts of x, stacked on a new last axis.
+    x: (B,H,W,C) → (B,H,W,C,K)."""
+    k = 2 * radius + 1
+    xp = jnp.pad(x, ((0, 0), (radius, radius), (radius, radius), (0, 0)), mode="edge")
+    h, w = x.shape[1], x.shape[2]
+    shifts = [
+        jax.lax.dynamic_slice_in_dim(
+            jax.lax.dynamic_slice_in_dim(xp, dy, h, axis=1), dx, w, axis=2
+        )
+        for dy in range(k)
+        for dx in range(k)
+    ]
+    return jnp.stack(shifts, axis=-1)
+
+
+def median_filter_3x3(x: jnp.ndarray) -> jnp.ndarray:
+    """3×3 median with edge replication (cv2.medianBlur(ksize=3) semantics,
+    reference: src/data/quality_preprocessing.py:160)."""
+    stack = _shifted_stack(x, 1)
+    return jnp.median(stack, axis=-1)
+
+
+def bilateral_filter(
+    x: jnp.ndarray,
+    d: int = 5,
+    sigma_color: float = 50.0,
+    sigma_space: float = 50.0,
+) -> jnp.ndarray:
+    """Edge-preserving bilateral filter on the 8-bit scale (cv2.bilateralFilter
+    semantics, reference: src/data/quality_preprocessing.py:162-167). `x` is
+    expected on the 0–255 scale for sigma_color to have the cv2 meaning."""
+    radius = d // 2
+    stack = _shifted_stack(x, radius)
+    k = 2 * radius + 1
+    dy, dx = jnp.meshgrid(
+        jnp.arange(k) - radius, jnp.arange(k) - radius, indexing="ij"
+    )
+    space_w = jnp.exp(-(dy**2 + dx**2) / (2.0 * sigma_space**2)).reshape(-1)
+    color_w = jnp.exp(
+        -jnp.square(stack - x[..., None]) / (2.0 * sigma_color**2)
+    )
+    w = color_w * space_w
+    return (stack * w).sum(axis=-1) / w.sum(axis=-1)
+
+
+def suppress_artifacts(
+    x: jnp.ndarray,
+    percentile: float = 99.9,
+    median_size: int = 3,
+    bilateral_d: int = 5,
+    bilateral_sigma_color: float = 50.0,
+    bilateral_sigma_space: float = 50.0,
+) -> jnp.ndarray:
+    """Artifact suppression chain (reference:
+    src/data/quality_preprocessing.py:149-170): per-image percentile clip →
+    round-trip to 8-bit → 3×3 median → bilateral only where bright spots remain
+    (max>250 in 8-bit), then back to uint16 scale (×256). Branchless: bilateral
+    is computed for the whole batch and selected per image."""
+    del median_size  # fixed 3×3, as in the reference params table
+    p_high = per_image_quantile(x, percentile / 100.0)
+    clipped = jnp.clip(x, 0.0, p_high)
+    x8 = jnp.floor(clipped / 256.0)  # uint8 cast truncates
+    med = median_filter_3x3(x8)
+    needs_bilateral = (
+        med.reshape(x.shape[0], -1).max(axis=1) > 250.0
+    ).reshape(-1, 1, 1, 1)
+    bil = bilateral_filter(
+        med, d=bilateral_d, sigma_color=bilateral_sigma_color,
+        sigma_space=bilateral_sigma_space,
+    )
+    # cv2 bilateral returns uint8 → truncation before upscale
+    out8 = jnp.where(needs_bilateral, jnp.floor(bil), med)
+    return out8 * 256.0
+
+
+# ---------------------------------------------------------------------------
+# elastic deformation (reference: src/data/transforms.py:86-128)
+# ---------------------------------------------------------------------------
+
+def _gaussian_kernel_1d(sigma: float, truncate: float = 4.0) -> jnp.ndarray:
+    radius = int(truncate * sigma + 0.5)
+    xs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (xs / sigma) ** 2)
+    return k / k.sum()
+
+
+def gaussian_blur(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur, NHWC, edge padding."""
+    if sigma <= 0:
+        return x
+    k = _gaussian_kernel_1d(sigma)
+    r = (k.shape[0] - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0)), mode="edge")
+    x = _sep_conv(xp, k, axis=1)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
+    return _sep_conv(xp, k, axis=2)
+
+
+def _sep_conv(xp: jnp.ndarray, k: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """1-D correlation along `axis` of an already-padded NHWC array."""
+    n = k.shape[0]
+    size = xp.shape[axis] - n + 1
+    out = jnp.zeros(
+        xp.shape[:axis] + (size,) + xp.shape[axis + 1:], dtype=xp.dtype
+    )
+    for i in range(n):
+        out = out + k[i] * jax.lax.dynamic_slice_in_dim(xp, i, size, axis=axis)
+    return out
+
+
+def elastic_deform(
+    x: jnp.ndarray,
+    key: jax.Array,
+    alpha: float = 100.0,
+    sigma: float = 10.0,
+) -> jnp.ndarray:
+    """Elastic deformation: Gaussian-smoothed random displacement fields +
+    bilinear sampling (reference: src/data/transforms.py:117-128, which uses
+    scipy gaussian_filter + map_coordinates)."""
+    b, h, w, c = x.shape
+    k1, k2 = jax.random.split(key)
+    dx = jax.random.uniform(k1, (b, h, w, 1), minval=-1.0, maxval=1.0)
+    dy = jax.random.uniform(k2, (b, h, w, 1), minval=-1.0, maxval=1.0)
+    dx = gaussian_blur(dx, sigma) * alpha
+    dy = gaussian_blur(dy, sigma) * alpha
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    coords_y = yy[None, :, :, None] + dy
+    coords_x = xx[None, :, :, None] + dx
+
+    def sample_one(img, cy, cx):
+        # img: (H,W,C); cy/cx: (H,W,1)
+        def per_channel(ch):
+            return jax.scipy.ndimage.map_coordinates(
+                ch, [cy[..., 0], cx[..., 0]], order=1, mode="nearest"
+            )
+        return jnp.stack([per_channel(img[..., i]) for i in range(img.shape[-1])], axis=-1)
+
+    return jax.vmap(sample_one)(x, coords_y, coords_x)
+
+
+# ---------------------------------------------------------------------------
+# fused preprocess entry (resize + normalize), jitted
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("size",))
+def resize_and_normalize(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """uint16-scale NHWC → resized [0,1] float32 — the minimum per-sample path
+    of the reference dataset (reference: src/data/dataset.py:533-551)."""
+    return normalize_uint16(resize_bilinear(to_uint16_scale(x), size))
