@@ -16,3 +16,12 @@ __all__ = [
     "resize_and_normalize", "UINT16_MAX", "clahe_8bit", "clahe_uint16",
     "QualityParams", "quality_preprocess", "quality_preprocess_and_normalize",
 ]
+
+from .augment import (
+    microscopy_normalize, random_hflip, random_vflip, affine_warp, rotate,
+    random_rotation, shear, translate, adjust_brightness, adjust_contrast,
+    adjust_sharpness, auto_contrast, equalize, posterize, solarize,
+    gaussian_noise, random_blur, microscopy_augment, random_patch_drop,
+    randaugment, compute_patch_quality, quality_aware_patch_augment,
+    mixup, cutmix, train_augment, vit_augment, tta_views,
+)
