@@ -1,0 +1,192 @@
+"""Data layer tests (reference models: tests/unit/test_dataset.py,
+test_datamodule.py — split logic, loader fallbacks, JSON contracts)."""
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from thyroid_tpu.data import (
+    CARSThyroidDataset, DevicePipeline, create_data_loaders, decode_image,
+    generate_corpus_arrays, generate_kfold_splits, generate_splits,
+    load_split_file, resolve_split, scan_corpus, generate_quality_report,
+)
+
+
+@pytest.mark.unit
+class TestCorpusScan:
+    def test_scan_order_and_labels(self, temp_dataset_path):
+        paths, labels, pids = scan_corpus(temp_dataset_path)
+        assert len(paths) == 16
+        # normal (label 0) scanned before cancerous (label 1)
+        assert labels[:8].sum() == 0 and labels[8:].sum() == 8
+        # deterministic sorted order within a class
+        assert [p.name for p in paths[:3]] == ["normal_0.png", "normal_1.png", "normal_2.png"]
+
+    def test_patient_ids(self, temp_dataset_path):
+        _, _, pids = scan_corpus(temp_dataset_path)
+        assert pids[0] == "normal_0"
+
+    def test_empty_dir(self, tmp_path):
+        paths, labels, _ = scan_corpus(tmp_path)
+        assert len(paths) == 0
+
+
+@pytest.mark.unit
+class TestSplits:
+    def test_stratified_disjoint(self):
+        labels = np.array([0] * 50 + [1] * 50)
+        s = generate_splits(labels, 0.15, 0.15, random_seed=42)
+        all_idx = np.concatenate([s["train"], s["val"], s["test"]])
+        assert len(np.unique(all_idx)) == 100
+        # stratification: both classes in every split
+        for k in s:
+            assert len(np.unique(labels[s[k]])) == 2
+
+    def test_seed_reproducible(self):
+        labels = np.array([0] * 30 + [1] * 30)
+        a = generate_splits(labels, random_seed=7)
+        b = generate_splits(labels, random_seed=7)
+        for k in a:
+            assert np.array_equal(a[k], b[k])
+
+    def test_kfold_rotation_scheme(self, tmp_path):
+        labels = np.array([0] * 35 + [1] * 35)
+        files = generate_kfold_splits(labels, 7, tmp_path, random_seed=42)
+        assert len(files) == 7
+        folds = [load_split_file(f) for f in files]
+        # rotation: fold i's test == fold i-1's val
+        for i in range(7):
+            test_i = set(folds[i]["test"].tolist())
+            val_prev = set(folds[(i - 1) % 7]["val"].tolist())
+            assert test_i == val_prev
+        for f in folds:
+            assert len(set(f["train"]) | set(f["val"]) | set(f["test"])) == 70
+
+    def test_reference_split_files_load(self):
+        """Our loader must read the reference's shipped fold files verbatim."""
+        s = load_split_file("/root/reference/data/splits/split_fold_1.json")
+        assert set(s) == {"train", "val", "test"}
+        assert len(s["train"]) == 320 and len(s["val"]) == 65 and len(s["test"]) == 65
+        assert s["train"][0] == 7
+
+    def test_resolve_split_generates_and_persists(self, tmp_path):
+        labels = np.array([0] * 20 + [1] * 20)
+        s1 = resolve_split(labels, split_dir=tmp_path)
+        assert (tmp_path / "split_info.json").exists()
+        s2 = resolve_split(labels, split_dir=tmp_path)
+        for k in s1:
+            assert np.array_equal(s1[k], s2[k])
+        info = json.load(open(tmp_path / "split_info.json"))
+        assert info["metadata"]["total_images"] == 40
+
+
+@pytest.mark.unit
+class TestDataset:
+    def _cfg(self, path, tmp, **kw):
+        base = dict(data_path=str(path), split_dir=str(tmp / "splits"),
+                    random_seed=42, val_split_ratio=0.25, test_split_ratio=0.25)
+        base.update(kw)
+        return base
+
+    def test_decode_uint16_png(self, temp_dataset_path):
+        paths, _, _ = scan_corpus(temp_dataset_path)
+        img = decode_image(paths[0])
+        assert img.dtype == np.uint16 and img.shape == (64, 64)
+
+    def test_split_membership(self, temp_dataset_path, tmp_path):
+        cfg = self._cfg(temp_dataset_path, tmp_path)
+        tr = CARSThyroidDataset(cfg, split="train")
+        te = CARSThyroidDataset(cfg, split="test")
+        assert set(tr.indices.tolist()).isdisjoint(te.indices.tolist())
+        img, label = tr[0]
+        assert img.shape == (64, 64, 1) and label in (0, 1)
+
+    def test_load_images_bulk(self, temp_dataset_path, tmp_path):
+        ds = CARSThyroidDataset(self._cfg(temp_dataset_path, tmp_path), split="val")
+        arr = ds.load_images()
+        assert arr.shape == (len(ds), 64, 64, 1) and arr.dtype == np.uint16
+
+    def test_missing_dir_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            CARSThyroidDataset({"data_path": str(tmp_path / "nope")}, split="train")
+
+    def test_synthetic_generation(self, tmp_path):
+        cfg = {"data_path": str(tmp_path / "synth"), "synthetic": True,
+               "synthetic_size": 12, "split_dir": str(tmp_path / "splits"),
+               "val_split_ratio": 0.25, "test_split_ratio": 0.25, "random_seed": 0}
+        ds = CARSThyroidDataset(cfg, split="all")
+        assert len(ds) == 12
+        assert ds.class_distribution() == {"normal": 6, "cancerous": 6}
+
+
+@pytest.mark.unit
+class TestDevicePipeline:
+    def test_epoch_shapes_and_padding(self):
+        imgs, labels = generate_corpus_arrays(n_images=10, size=64)
+        pipe = DevicePipeline(imgs, labels, batch_size=4, img_size=32, train=False)
+        batches = list(pipe.epoch(jax.random.PRNGKey(0)))
+        assert len(batches) == 3
+        assert batches[0].image.shape == (4, 32, 32, 1)
+        # last batch: 2 real + 2 padded
+        assert float(batches[-1].weight.sum()) == 2.0
+
+    def test_train_epoch_shuffles_and_wraps(self):
+        imgs, labels = generate_corpus_arrays(n_images=10, size=64)
+        pipe = DevicePipeline(imgs, labels, batch_size=4, img_size=32, train=True,
+                              augmentation_level="light")
+        b = list(pipe.epoch(jax.random.PRNGKey(0)))
+        assert all(x.image.shape == (4, 32, 32, 1) for x in b)
+        assert all(float(x.weight.sum()) == 4.0 for x in b)
+        b2 = list(pipe.epoch(jax.random.PRNGKey(1)))
+        assert not np.allclose(np.asarray(b[0].image), np.asarray(b2[0].image))
+
+    def test_eval_deterministic(self):
+        imgs, labels = generate_corpus_arrays(n_images=8, size=64)
+        pipe = DevicePipeline(imgs, labels, batch_size=4, img_size=32, train=False)
+        a = np.asarray(next(iter(pipe.epoch(jax.random.PRNGKey(0)))).image)
+        b = np.asarray(next(iter(pipe.epoch(jax.random.PRNGKey(9)))).image)
+        assert np.array_equal(a, b)
+
+    def test_standardization_applied(self):
+        imgs, labels = generate_corpus_arrays(n_images=8, size=64)
+        pipe = DevicePipeline(imgs, labels, batch_size=8, img_size=32,
+                              mean=(0.5,), std=(0.5,), train=False)
+        batch = next(iter(pipe.epoch(jax.random.PRNGKey(0))))
+        x = np.asarray(batch.image)
+        assert x.min() >= -1.001 and x.max() <= 1.001  # [0,1] → [-1,1]
+
+    def test_quality_preprocessing_path(self):
+        imgs, labels = generate_corpus_arrays(n_images=8, size=64)
+        pipe = DevicePipeline(imgs, labels, batch_size=8, img_size=32,
+                              quality_preprocessing=True, train=False)
+        batch = next(iter(pipe.epoch(jax.random.PRNGKey(0))))
+        assert np.isfinite(np.asarray(batch.image)).all()
+
+
+@pytest.mark.unit
+@pytest.mark.integration
+class TestEndToEndData:
+    def test_create_data_loaders(self, temp_dataset_path, tmp_path):
+        cfg = {"data_path": str(temp_dataset_path),
+               "split_dir": str(tmp_path / "splits"),
+               "batch_size": 4, "img_size": 32, "random_seed": 42,
+               "val_split_ratio": 0.25, "test_split_ratio": 0.25,
+               "apply_augmentations": True, "augmentation_level": "light",
+               "quality_preprocessing": False, "mean": [0.5], "std": [0.5]}
+        loaders = create_data_loaders(cfg)
+        assert set(loaders) == {"train", "val", "test"}
+        batch = next(iter(loaders["train"].epoch(jax.random.PRNGKey(0))))
+        assert batch.image.shape == (4, 32, 32, 1)
+
+    def test_quality_report_schema(self, temp_dataset_path, tmp_path):
+        cfg = {"data_path": str(temp_dataset_path),
+               "split_dir": str(tmp_path / "splits"),
+               "val_split_ratio": 0.25, "test_split_ratio": 0.25,
+               "random_seed": 42}
+        report = generate_quality_report(cfg, tmp_path / "q.json")
+        assert "dataset_stats" in report
+        m = report["dataset_stats"]["train"]["metrics"]
+        assert set(m["quality_issues"]) == {"extreme_dark", "low_contrast",
+                                            "potential_artifacts"}
+        assert (tmp_path / "q.json").exists()

@@ -1,0 +1,115 @@
+"""Deterministic synthetic CARS-thyroid-like corpus.
+
+The reference repo ships no images (data/raw is empty); this generator
+produces a 450-image corpus with the dataset's published statistics so every
+pipeline stage — including quality preprocessing — can be exercised and
+benchmarked end-to-end:
+
+- 512×512 single-channel uint16 (reference: data/dataset_summary.json)
+- 225 per class, class-dependent texture statistics (so models can learn)
+- quality mix ≈ 71% clean / 5.8% extreme-dark / 9.1% low-contrast /
+  14.2% artifacts (reference: project_log.md:125-128), realised by intensity
+  scaling, contrast compression, and bright speckle injection that trip the
+  exact detection thresholds (src/data/quality_preprocessing.py:85-112 —
+  note: thresholds are on the 8-bit-ish scale of the reference's stats, so
+  "dark" here means mean < 150 on the raw uint16 values).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+QUALITY_MIX = {"extreme_dark": 0.058, "low_contrast": 0.091, "artifacts": 0.142}
+
+
+def _texture(rng: np.random.Generator, size: int, label: int) -> np.ndarray:
+    """Band-limited random texture in [0,1]; cancerous tissue gets finer,
+    higher-frequency structure and brighter foci."""
+    coarse = rng.random((size // 16, size // 16))
+    fine = rng.random((size // 4, size // 4))
+    coarse = np.kron(coarse, np.ones((16, 16)))
+    fine = np.kron(fine, np.ones((4, 4)))
+    noise = rng.random((size, size)) * 0.15
+    if label == 0:  # normal: smooth follicular pattern
+        img = 0.65 * coarse + 0.2 * fine + noise
+    else:  # cancerous: disordered fine structure
+        img = 0.3 * coarse + 0.55 * fine + noise
+        # bright lipid/protein foci
+        for _ in range(12):
+            cy, cx = rng.integers(8, size - 8, 2)
+            img[cy - 3:cy + 3, cx - 3:cx + 3] += 0.4
+    return np.clip(img, 0.0, 1.0)
+
+
+def generate_image(seed: int, label: int, size: int = 512) -> np.ndarray:
+    """One deterministic uint16 image with a seed-derived quality issue."""
+    rng = np.random.default_rng(seed)
+    img = _texture(rng, size, label)
+
+    u = rng.random()
+    dark_p = QUALITY_MIX["extreme_dark"]
+    lc_p = QUALITY_MIX["low_contrast"]
+    art_p = QUALITY_MIX["artifacts"]
+    if u < dark_p:
+        # extreme dark: mean < 150 on the uint16 scale
+        img = img * (100.0 / 65535.0)
+    elif u < dark_p + lc_p:
+        # low contrast: std < 80 with mean > 150
+        img = 0.0045 + img * (250.0 / 65535.0)
+    elif u < dark_p + lc_p + art_p:
+        # artifacts: bright speckle spikes (max/mean > 30)
+        img = img * 0.03
+        n_spikes = rng.integers(5, 20)
+        ys = rng.integers(0, size, n_spikes)
+        xs = rng.integers(0, size, n_spikes)
+        img[ys, xs] = 1.0
+    else:
+        img = 0.02 + img * 0.55
+    return (np.clip(img, 0.0, 1.0) * 65535.0).astype(np.uint16)
+
+
+def generate_corpus(
+    out_dir: str | Path,
+    n_images: int = 450,
+    size: int = 512,
+    seed: int = 42,
+) -> Tuple[int, int]:
+    """Write the corpus as 16-bit PNGs under out_dir/{normal,cancerous}.
+    Idempotent: skips files that already exist. Returns (n_normal, n_cancer)."""
+    import cv2
+
+    out_dir = Path(out_dir)
+    n_per_class = n_images // 2
+    counts = []
+    for class_idx, class_name in enumerate(("normal", "cancerous")):
+        d = out_dir / class_name
+        d.mkdir(parents=True, exist_ok=True)
+        count = n_per_class + (n_images % 2 if class_idx == 0 else 0)
+        for i in range(count):
+            path = d / f"{class_name}_{i:04d}.png"
+            if path.exists():
+                continue
+            img = generate_image(seed * 1_000_003 + class_idx * 100_000 + i,
+                                 class_idx, size)
+            cv2.imwrite(str(path), img)
+        counts.append(count)
+    return counts[0], counts[1]
+
+
+def generate_corpus_arrays(
+    n_images: int = 64,
+    size: int = 128,
+    seed: int = 42,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """In-memory corpus (images NHWC uint16, labels) for tests/benchmarks."""
+    n_per_class = n_images // 2
+    imgs, labels = [], []
+    for class_idx in range(2):
+        count = n_per_class + (n_images % 2 if class_idx == 0 else 0)
+        for i in range(count):
+            imgs.append(generate_image(seed * 1_000_003 + class_idx * 100_000 + i,
+                                       class_idx, size))
+            labels.append(class_idx)
+    return np.stack(imgs)[..., None], np.asarray(labels, dtype=np.int32)
