@@ -1,0 +1,182 @@
+"""Shared model building blocks (flax.linen, NHWC, dtype-polymorphic).
+
+Rebuilds the reference's from-scratch transformer infrastructure
+(reference: src/models/vit/vision_transformer_base.py — DropPath:49,
+PatchEmbed:67-143 with quality scoring, Attention:146-195 with eval-time
+attention capture, Mlp:198, Block:226) as functional flax modules. Attention
+maps and quality scores are exposed through flax's `sow` mechanism
+("intermediates" collection) instead of torch buffers/hooks.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth — drop the residual branch per sample
+    (reference: vision_transformer_base.py:49-64)."""
+
+    rate: float = 0.0
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: Optional[bool] = None) -> jnp.ndarray:
+        det = nn.merge_param("deterministic", self.deterministic, deterministic)
+        if det or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP (reference: vision_transformer_base.py:198-223)."""
+
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    drop_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     kernel_init=trunc_normal_init)(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        x = nn.Dense(out_dim, dtype=self.dtype, kernel_init=trunc_normal_init)(x)
+        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with optional attention-map capture.
+
+    The reference stores eval-time attention maps on the module
+    (vision_transformer_base.py:186-188); here the softmax weights are
+    `sow`-ed into the "intermediates" collection when `capture` is True, so
+    callers retrieve them functionally via `mutable=["intermediates"]`.
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop_rate: float = 0.0
+    proj_drop_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 capture: bool = False) -> jnp.ndarray:
+        b, n, d = x.shape
+        head_dim = d // self.num_heads
+        qkv = nn.Dense(3 * d, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=trunc_normal_init)(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)                       # (b,n,h,hd) each
+        q = q.transpose(0, 2, 1, 3)                             # (b,h,n,hd)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        scale = head_dim ** -0.5
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        if capture:
+            self.sow("intermediates", "attention", attn)
+        attn = nn.Dropout(self.attn_drop_rate)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+        out = nn.Dense(d, dtype=self.dtype, kernel_init=trunc_normal_init)(out)
+        out = nn.Dropout(self.proj_drop_rate)(out, deterministic=deterministic)
+        return out
+
+
+class PatchEmbed(nn.Module):
+    """Patch embedding (conv k=p s=p) with optional quality-aware patch
+    scoring head (reference: vision_transformer_base.py:67-143 — conv3x3 →
+    conv1x1 → sigmoid → patch-avg-pool → (B, N) scores, sowed)."""
+
+    patch_size: int = 16
+    embed_dim: int = 768
+    quality_aware: bool = False
+    flatten: bool = True
+    norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = self.patch_size
+        b, h, w, c = x.shape
+        if h % p or w % p:
+            raise ValueError(f"image {h}x{w} not divisible by patch size {p}")
+        tokens = nn.Conv(self.embed_dim, kernel_size=(p, p), strides=(p, p),
+                         dtype=self.dtype, kernel_init=trunc_normal_init,
+                         name="proj")(x)                         # (B, H/p, W/p, D)
+        if self.quality_aware:
+            q = nn.Conv(8, kernel_size=(3, 3), padding="SAME", dtype=self.dtype,
+                        name="quality_conv1")(x)
+            q = nn.relu(q)
+            q = nn.Conv(1, kernel_size=(1, 1), dtype=self.dtype,
+                        name="quality_conv2")(q)
+            q = nn.sigmoid(q)
+            q = nn.avg_pool(q, window_shape=(p, p), strides=(p, p))
+            scores = q.reshape(b, -1)                            # (B, N)
+            self.sow("intermediates", "patch_quality", scores)
+        if self.flatten:
+            tokens = tokens.reshape(b, -1, self.embed_dim)       # (B, N, D)
+        if self.norm:
+            tokens = nn.LayerNorm(dtype=self.dtype)(tokens)
+        return tokens
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block (reference: vision_transformer_base.py:226-286)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 capture: bool = False) -> jnp.ndarray:
+        d = x.shape[-1]
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = Attention(self.num_heads, self.qkv_bias, self.attn_drop_rate,
+                      self.drop_rate, dtype=self.dtype)(
+            y, deterministic=deterministic, capture=capture)
+        x = x + DropPath(self.drop_path_rate)(y, deterministic=deterministic)
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = Mlp(int(d * self.mlp_ratio), drop_rate=self.drop_rate,
+                dtype=self.dtype)(y, deterministic=deterministic)
+        x = x + DropPath(self.drop_path_rate)(y, deterministic=deterministic)
+        return x
+
+
+def sincos_pos_embed(n: int, dim: int) -> jnp.ndarray:
+    """Fixed sinusoidal position embedding (reference alternative to the
+    learnable table — vision_transformer_base.py:363-369)."""
+    position = jnp.arange(n)[:, None].astype(jnp.float32)
+    div = jnp.exp(jnp.arange(0, dim, 2).astype(jnp.float32) *
+                  (-jnp.log(10000.0) / dim))
+    pe = jnp.zeros((n, dim))
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div[: (dim + 1) // 2]))
+    return pe
+
+
+def count_params(params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))
