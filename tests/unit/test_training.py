@@ -1,0 +1,263 @@
+"""Training engine tests: metrics vs sklearn, loss semantics, schedules,
+checkpoint round-trip, fit/early-stop/distillation behavior."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from sklearn.metrics import roc_auc_score
+
+from thyroid_tpu.data import DevicePipeline, generate_corpus_arrays
+from thyroid_tpu.models import ModelRegistry
+from thyroid_tpu.training import (
+    MetricAccumulator, Trainer, auroc, build_schedule, confusion_stats,
+    cross_entropy, deit_dual_loss, distillation_loss, hard_distillation,
+    load_checkpoint, make_teacher_fn, npv, progressive_alpha, save_checkpoint,
+    soft_distillation, accuracy, f1_score, sensitivity, specificity, precision,
+)
+
+RS = np.random.RandomState(0)
+
+
+@pytest.mark.unit
+class TestMetrics:
+    def test_confusion_and_derived(self):
+        preds = jnp.array([1, 1, 0, 0, 1, 0])
+        labels = jnp.array([1, 0, 0, 1, 1, 0])
+        s = confusion_stats(preds, labels)
+        assert (float(s.tp), float(s.fp), float(s.tn), float(s.fn)) == (2, 1, 2, 1)
+        assert float(accuracy(s)) == pytest.approx(4 / 6)
+        assert float(sensitivity(s)) == pytest.approx(2 / 3)
+        assert float(specificity(s)) == pytest.approx(2 / 3)
+        assert float(precision(s)) == pytest.approx(2 / 3)
+        # reference NPV formula TN/(TN+FN+1e-6)
+        assert float(npv(s)) == pytest.approx(2 / (3 + 1e-6))
+        assert float(f1_score(s)) == pytest.approx(2 / 3)
+
+    def test_auroc_matches_sklearn(self):
+        scores = RS.rand(200)
+        labels = (RS.rand(200) > 0.4).astype(int)
+        assert auroc(scores, labels) == pytest.approx(
+            roc_auc_score(labels, scores), abs=1e-9)
+
+    def test_auroc_with_ties(self):
+        scores = np.array([0.5, 0.5, 0.2, 0.8])
+        labels = np.array([1, 0, 0, 1])
+        assert auroc(scores, labels) == pytest.approx(
+            roc_auc_score(labels, scores), abs=1e-9)
+
+    def test_accumulator_weights_exclude_padding(self):
+        acc = MetricAccumulator()
+        probs = jnp.array([[0.1, 0.9], [0.8, 0.2], [0.3, 0.7], [0.9, 0.1]])
+        labels = jnp.array([1, 0, 1, 1])
+        weights = jnp.array([1.0, 1.0, 1.0, 0.0])  # last is padding
+        acc.update(probs, labels, weights)
+        m = acc.compute()
+        assert m["acc"] == pytest.approx(1.0)  # padded error excluded
+
+    def test_accumulator_streams_batches(self):
+        a, b = MetricAccumulator(), MetricAccumulator()
+        probs = jnp.asarray(RS.rand(20, 2))
+        probs = probs / probs.sum(-1, keepdims=True)
+        labels = jnp.asarray((RS.rand(20) > 0.5).astype(np.int32))
+        a.update(probs, labels)
+        b.update(probs[:10], labels[:10])
+        b.update(probs[10:], labels[10:])
+        assert a.compute() == pytest.approx(b.compute())
+
+
+@pytest.mark.unit
+class TestLosses:
+    def test_ce_matches_manual(self):
+        logits = jnp.array([[2.0, 0.0], [0.0, 2.0]])
+        labels = jnp.array([0, 1])
+        got = float(cross_entropy(logits, labels))
+        want = float(-np.log(np.exp(2) / (np.exp(2) + 1)))
+        assert got == pytest.approx(want, abs=1e-6)
+
+    def test_label_smoothing_increases_loss_at_confident_preds(self):
+        logits = jnp.array([[10.0, -10.0]])
+        labels = jnp.array([0])
+        assert float(cross_entropy(logits, labels, 0.1)) > \
+            float(cross_entropy(logits, labels, 0.0))
+
+    def test_soft_distillation_zero_when_matched(self):
+        logits = jnp.asarray(RS.rand(4, 2).astype(np.float32))
+        assert float(soft_distillation(logits, logits, 4.0)) == pytest.approx(0.0, abs=1e-5)
+
+    def test_soft_distillation_tsquared_scaling(self):
+        s = jnp.array([[1.0, 0.0]])
+        t = jnp.array([[0.0, 1.0]])
+        # KL at T and the T² factor: loss(T=2) ≈ 4·KL(p2‖q2)
+        l1 = float(soft_distillation(s, t, 1.0))
+        l2 = float(soft_distillation(s, t, 2.0))
+        assert l2 != l1 and l2 > 0
+
+    def test_hard_distillation_uses_teacher_argmax(self):
+        student = jnp.array([[5.0, 0.0], [5.0, 0.0]])
+        teacher = jnp.array([[0.0, 5.0], [5.0, 0.0]])
+        loss = float(hard_distillation(student, teacher))
+        assert loss > 1.0  # first sample mismatched
+
+    def test_distillation_alpha_blend(self):
+        out = jnp.asarray(RS.rand(4, 2).astype(np.float32))
+        teacher = jnp.asarray(RS.rand(4, 2).astype(np.float32))
+        labels = jnp.array([0, 1, 0, 1])
+        l0, aux0 = distillation_loss(out, teacher, labels, alpha=0.0)
+        assert float(l0) == pytest.approx(float(aux0["class_loss"]), abs=1e-6)
+        l1, aux1 = distillation_loss(out, teacher, labels, alpha=1.0)
+        assert float(l1) == pytest.approx(float(aux1["distillation_loss"]), abs=1e-6)
+
+    def test_deit_dual_loss_average(self):
+        a = jnp.asarray(RS.rand(4, 2).astype(np.float32))
+        b = jnp.asarray(RS.rand(4, 2).astype(np.float32))
+        labels = jnp.array([0, 1, 1, 0])
+        got = float(deit_dual_loss((a, b), labels))
+        want = 0.5 * float(cross_entropy(a, labels)) + \
+            0.5 * float(cross_entropy(b, labels))
+        assert got == pytest.approx(want, abs=1e-6)
+
+    def test_progressive_alpha_schedule(self):
+        sched = [[0, 0.3], [20, 0.5], [40, 0.7]]
+        assert progressive_alpha(0, sched) == 0.3
+        assert progressive_alpha(25, sched) == 0.5
+        assert progressive_alpha(100, sched) == 0.7
+        assert progressive_alpha(5, None, default=0.9) == 0.9
+
+
+@pytest.mark.unit
+class TestSchedules:
+    def test_warmup_then_cosine(self):
+        s = build_schedule(1e-3, steps_per_epoch=10, epochs=10,
+                           warmup_epochs=2, kind="cosine")
+        assert float(s(0)) == pytest.approx(0.0)
+        assert float(s(10)) == pytest.approx(5e-4, rel=0.01)
+        assert float(s(20)) == pytest.approx(1e-3, rel=0.01)
+        assert float(s(99)) < 1e-4
+
+    def test_constant(self):
+        s = build_schedule(1e-3, 10, 10, kind="constant")
+        assert float(s(50)) == pytest.approx(1e-3)
+
+
+@pytest.mark.unit
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from thyroid_tpu.models.base import create_and_init
+        from thyroid_tpu.training import create_train_state, build_optimizer
+
+        cfg = {"name": "resnet18", "img_size": 32, "in_channels": 1}
+        model, variables = create_and_init(cfg, jax.random.PRNGKey(0))
+        tx = build_optimizer(variables["params"], lambda _: 1e-3)
+        state = create_train_state(model, variables, tx)
+        path = save_checkpoint(tmp_path / "m.ckpt", state,
+                               {"metrics": {"val_acc": 0.9}})
+        restored, meta = load_checkpoint(path)
+        assert meta["metrics"]["val_acc"] == 0.9
+        orig_leaf = jax.tree.leaves(variables["params"])[0]
+        rest_leaf = jax.tree.leaves(restored["params"])[0]
+        assert np.array_equal(np.asarray(orig_leaf), np.asarray(rest_leaf))
+        x = jnp.zeros((1, 32, 32, 1))
+        out = model.apply(restored, x, train=False)
+        assert out.shape == (1, 2)
+
+
+def _make_pipelines(n=32, size=64, img=32, bs=8):
+    imgs, labels = generate_corpus_arrays(n_images=n, size=size)
+    order = RS.permutation(n)  # interleave classes for balanced eval splits
+    imgs, labels = imgs[order], labels[order]
+    tr = DevicePipeline(imgs, labels, batch_size=bs, img_size=img, train=True,
+                        augmentation_level="light")
+    va = DevicePipeline(imgs[:16], labels[:16], batch_size=bs, img_size=img,
+                        train=False)
+    return tr, va
+
+
+def _trainer(mcfg, epochs=2, steps=4, out="/tmp/trainer_test", **kw):
+    tcfg = {"epochs": epochs, "batch_size": 8,
+            "optimizer_params": {"lr": 1e-3},
+            "scheduler_params": {"name": "cosine", "warmup_epochs": 0},
+            "monitor_metric": "val_acc", "monitor_mode": "max",
+            "early_stopping_patience": 50}
+    return Trainer(ModelRegistry.create_model(mcfg), mcfg, tcfg,
+                   {"max_epochs": epochs, "enable_checkpointing": False},
+                   steps_per_epoch=steps, output_dir=out, **kw)
+
+
+@pytest.mark.integration
+class TestTrainerFit:
+    def test_loss_decreases(self, tmp_path):
+        tr, va = _make_pipelines()
+        mcfg = {"name": "resnet18", "img_size": 32, "in_channels": 1,
+                "num_classes": 2}
+        trainer = _trainer(mcfg, epochs=3, steps=tr.steps_per_epoch(),
+                           out=str(tmp_path))
+        res = trainer.fit(tr, va)
+        assert len(res.history) == 3
+        assert res.history[-1]["train_loss"] < res.history[0]["train_loss"] + 0.2
+        assert (tmp_path / "history.json").exists()
+
+    def test_checkpointing_and_test_restore(self, tmp_path):
+        tr, va = _make_pipelines()
+        mcfg = {"name": "resnet18", "img_size": 32, "in_channels": 1,
+                "num_classes": 2}
+        tcfg = {"epochs": 2, "batch_size": 8,
+                "optimizer_params": {"lr": 1e-3},
+                "scheduler_params": None,
+                "monitor_metric": "val_acc", "monitor_mode": "max",
+                "save_top_k": 1, "early_stopping_patience": 10}
+        trainer = Trainer(ModelRegistry.create_model(mcfg), mcfg, tcfg,
+                          {"max_epochs": 2, "enable_checkpointing": True},
+                          steps_per_epoch=tr.steps_per_epoch(),
+                          output_dir=str(tmp_path))
+        res = trainer.fit(tr, va)
+        assert res.best_checkpoint is not None and res.best_checkpoint.exists()
+        best_alias = tmp_path / "checkpoints" / "resnet18-best.ckpt"
+        assert best_alias.exists()
+        m = trainer.test(va, checkpoint=best_alias)
+        assert "test_acc" in m and np.isfinite(m["test_acc"])
+
+    def test_early_stopping(self, tmp_path):
+        tr, va = _make_pipelines()
+        mcfg = {"name": "resnet18", "img_size": 32, "in_channels": 1,
+                "num_classes": 2}
+        tcfg = {"epochs": 30, "batch_size": 8,
+                "optimizer_params": {"lr": 0.0},   # frozen → no improvement
+                "scheduler_params": None,
+                "monitor_metric": "val_acc", "monitor_mode": "max",
+                "early_stopping_patience": 2}
+        trainer = Trainer(ModelRegistry.create_model(mcfg), mcfg, tcfg,
+                          {"max_epochs": 30, "enable_checkpointing": False},
+                          steps_per_epoch=tr.steps_per_epoch(),
+                          output_dir=str(tmp_path))
+        res = trainer.fit(tr, va)
+        assert res.stopped_epoch < 29
+
+    def test_deit_dual_head_training(self, tmp_path):
+        tr, va = _make_pipelines(img=32)
+        mcfg = {"name": "deit_tiny", "img_size": 32, "in_channels": 1,
+                "num_classes": 2, "params": {"patch_size": 16, "depth": 2}}
+        trainer = _trainer(mcfg, epochs=1, steps=tr.steps_per_epoch(),
+                           out=str(tmp_path))
+        assert trainer.loss_mode == "deit"
+        res = trainer.fit(tr, va)
+        assert np.isfinite(res.history[0]["train_loss"])
+
+    def test_distillation_training(self, tmp_path):
+        tr, va = _make_pipelines(img=32)
+        # teacher: tiny resnet with random weights (frozen)
+        from thyroid_tpu.models.base import create_and_init
+
+        t_cfg = {"name": "resnet18", "img_size": 32, "in_channels": 1,
+                 "num_classes": 2}
+        t_model, t_vars = create_and_init(t_cfg, jax.random.PRNGKey(7))
+        teacher_fn = make_teacher_fn(t_model, t_vars)
+        mcfg = {"name": "deit_tiny", "img_size": 32, "in_channels": 1,
+                "num_classes": 2, "params": {"patch_size": 16, "depth": 2}}
+        dcfg = {"temperature": 4.0, "alpha": 0.5, "distillation_type": "soft",
+                "progressive": True, "alpha_schedule": [[0, 0.3]]}
+        trainer = _trainer(mcfg, epochs=1, steps=tr.steps_per_epoch(),
+                           out=str(tmp_path), teacher_fn=teacher_fn,
+                           distillation_config=dcfg)
+        assert trainer.loss_mode == "distillation"
+        res = trainer.fit(tr, va)
+        assert np.isfinite(res.history[0]["train_loss"])

@@ -1,0 +1,354 @@
+"""Training engine — one pjit-sharded functional engine replacing the
+reference's three LightningModules + pl.Trainer
+(reference: src/training/lightning_modules.py, src/training/train_cnn.py).
+
+Loss strategies (plain CE / Inception aux / DeiT dual-head / distillation)
+are data, not subclasses: the jitted train step closes over a `loss_mode`
+and an optional frozen teacher. Batches arrive sharded over the mesh's data
+axis; with params replicated, XLA inserts the psum for gradients over ICI —
+no hand-written collectives (SURVEY §2.8's TPU-native equivalent).
+"""
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import cfg_get
+from ..models.base import create_and_init
+from ..parallel.mesh import batch_sharding, create_mesh, replicated
+from ..utils.logging import get_logger
+from .checkpoint import BestCheckpointManager
+from .losses import (
+    cross_entropy, deit_dual_loss, distillation_loss, progressive_alpha,
+)
+from .metrics import MetricAccumulator
+from .schedules import build_optimizer, build_schedule
+from .train_state import TrainState, create_train_state
+
+logger = get_logger(__name__)
+
+
+@dataclass
+class TrainerConfig:
+    max_epochs: int = 100
+    min_epochs: int = 1
+    max_steps: int = -1
+    precision: str = "bf16"
+    gradient_clip_val: Optional[float] = 1.0
+    gradient_clip_algorithm: str = "norm"
+    accumulate_grad_batches: int = 1
+    log_every_n_steps: int = 50
+    check_val_every_n_epoch: int = 1
+    limit_train_batches: float = 1.0
+    limit_val_batches: float = 1.0
+    enable_checkpointing: bool = True
+    deterministic: bool = True
+    mesh_shape: Optional[Dict[str, int]] = None
+    data_axis: str = "data"
+    monitor_metric: str = "val_acc"
+    monitor_mode: str = "max"
+    early_stopping_patience: Optional[int] = 10
+    save_top_k: int = 3
+    save_last: bool = True
+    seed: int = 42
+
+    @classmethod
+    def from_config(cls, trainer_cfg: Any, training_cfg: Any) -> "TrainerConfig":
+        kw = {}
+        for f_ in cls.__dataclass_fields__:
+            v = cfg_get(trainer_cfg, f_, None)
+            if v is None:
+                v = cfg_get(training_cfg, f_, None)
+            if v is not None:
+                kw[f_] = v
+        return cls(**kw)
+
+
+@dataclass
+class FitResult:
+    best_metric: Optional[float]
+    best_checkpoint: Optional[Path]
+    history: List[Dict[str, float]] = field(default_factory=list)
+    stopped_epoch: int = 0
+
+
+class Trainer:
+    """Builds the optimizer/state from configs and runs fit/validate/test."""
+
+    def __init__(
+        self,
+        model: Any,
+        model_config: Any,
+        training_config: Any,
+        trainer_config: Any = None,
+        steps_per_epoch: int = 10,
+        output_dir: str | Path = "outputs",
+        teacher_fn: Optional[Callable] = None,
+        distillation_config: Any = None,
+        loss_mode: Optional[str] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.model = model
+        self.model_config = model_config
+        self.training_config = training_config
+        self.cfg = TrainerConfig.from_config(trainer_config, training_config)
+        self.output_dir = Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.teacher_fn = teacher_fn
+        self.distillation_config = distillation_config
+
+        # loss-strategy selection is explicit config, not a name heuristic
+        # (the reference dispatches LightningModule class by model-name
+        # substring — kfold_experiment.py:69-87 — flagged in SURVEY §append.)
+        if loss_mode is None:
+            name = str(cfg_get(model_config, "name", ""))
+            if teacher_fn is not None:
+                loss_mode = "distillation"
+            elif name.startswith("deit"):
+                loss_mode = "deit"
+            else:
+                loss_mode = "ce"
+        self.loss_mode = loss_mode
+
+        self.label_smoothing = float(
+            cfg_get(training_config, "label_smoothing",
+                    cfg_get(cfg_get(training_config, "loss", {}) or {},
+                            "label_smoothing", 0.0)) or 0.0)
+        opt = cfg_get(training_config, "optimizer_params", {}) or {}
+        sched = cfg_get(training_config, "scheduler_params", {}) or {}
+        epochs = int(cfg_get(training_config, "epochs", self.cfg.max_epochs))
+        self.epochs = min(epochs, self.cfg.max_epochs)
+        base_lr = float(cfg_get(opt, "lr", 1e-4))
+        self.schedule = build_schedule(
+            base_lr=base_lr,
+            steps_per_epoch=steps_per_epoch,
+            epochs=self.epochs,
+            warmup_epochs=int(cfg_get(sched, "warmup_epochs", 0) or 0),
+            warmup_steps=int(cfg_get(sched, "warmup_steps", 0) or 0),
+            eta_min=float(cfg_get(sched, "eta_min", 0.0) or 0.0),
+            kind=cfg_get(sched, "name", "cosine"),
+            step_size=cfg_get(sched, "step_size", None),
+            gamma=cfg_get(sched, "gamma", None),
+        )
+
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        _, variables = create_and_init(model_config, rng)
+        depth = int(cfg_get(model_config, "depth", 0) or 0) or \
+            len(tuple(cfg_get(model_config, "depths", ()) or ())) or 12
+        tx = build_optimizer(
+            variables["params"], self.schedule,
+            weight_decay=float(cfg_get(opt, "weight_decay", 1e-5)),
+            beta1=float(cfg_get(opt, "beta1", 0.9)),
+            beta2=float(cfg_get(opt, "beta2", 0.999)),
+            eps=float(cfg_get(opt, "eps", 1e-8)),
+            gradient_clip_val=self.cfg.gradient_clip_val,
+            gradient_clip_algorithm=self.cfg.gradient_clip_algorithm,
+            layer_decay=cfg_get(training_config, "layer_decay", None),
+            num_layers=depth,
+            accumulate_steps=self.cfg.accumulate_grad_batches,
+            name=str(cfg_get(opt, "name", "adamw")),
+        )
+        ema_decay = cfg_get(training_config, "ema_decay", None)
+        self.ema_decay = float(ema_decay) if ema_decay else None
+        self.state = create_train_state(model, variables, tx,
+                                        ema=self.ema_decay is not None)
+
+        self.mesh = mesh
+        if mesh is None and self.cfg.mesh_shape:
+            self.mesh = create_mesh(self.cfg.mesh_shape)
+        if self.mesh is not None:
+            self.batch_sharding = batch_sharding(self.mesh, self.cfg.data_axis)
+            repl = replicated(self.mesh)
+            self.state = jax.device_put(self.state, repl)
+        else:
+            self.batch_sharding = None
+
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+        self._global_step = 0
+
+    # ------------------------------------------------------------------
+    def _forward_train(self, params, batch_stats, images, rng):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        if mutable:
+            outputs, updated = self.state.apply_fn(
+                variables, images, train=True, rngs={"dropout": rng},
+                mutable=mutable)
+            return outputs, updated.get("batch_stats")
+        outputs = self.state.apply_fn(variables, images, train=True,
+                                      rngs={"dropout": rng})
+        return outputs, None
+
+    def _train_step_impl(self, state: TrainState, images, labels, weights,
+                         rng, alpha):
+        teacher_logits = self.teacher_fn(images) if self.teacher_fn else None
+
+        def loss_fn(params):
+            outputs, new_bs = self._forward_train(params, state.batch_stats,
+                                                  images, rng)
+            aux: Dict[str, jnp.ndarray] = {}
+            if self.loss_mode == "distillation":
+                dcfg = self.distillation_config or {}
+                loss, aux = distillation_loss(
+                    outputs, teacher_logits, labels,
+                    alpha=alpha,
+                    temperature=float(cfg_get(dcfg, "temperature", 4.0)),
+                    distillation_type=str(cfg_get(dcfg, "distillation_type", "soft")),
+                    label_smoothing=self.label_smoothing,
+                    weights=weights,
+                )
+                logits = outputs[0] if isinstance(outputs, tuple) else outputs
+            elif self.loss_mode == "deit" and isinstance(outputs, tuple):
+                loss = deit_dual_loss(outputs, labels, self.label_smoothing, weights)
+                logits = (outputs[0] + outputs[1]) / 2.0
+            elif isinstance(outputs, tuple):  # inception aux head
+                main, aux_logits = outputs
+                loss = cross_entropy(main, labels, self.label_smoothing, weights) \
+                    + 0.4 * cross_entropy(aux_logits, labels, self.label_smoothing,
+                                          weights)
+                logits = main
+            else:
+                loss = cross_entropy(outputs, labels, self.label_smoothing, weights)
+                logits = outputs
+            return loss, (logits, new_bs, aux)
+
+        (loss, (logits, new_bs, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs,
+                                          ema_decay=self.ema_decay)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        metrics = {"loss": loss, **aux}
+        return new_state, probs, metrics
+
+    def _eval_step_impl(self, variables, images, labels, weights):
+        outputs = self.state.apply_fn(variables, images, train=False)
+        if isinstance(outputs, tuple):
+            outputs = outputs[0]
+        loss = cross_entropy(outputs, labels, self.label_smoothing, weights)
+        return jax.nn.softmax(outputs.astype(jnp.float32), axis=-1), loss
+
+    # ------------------------------------------------------------------
+    def _alpha_for_epoch(self, epoch: int) -> float:
+        dcfg = self.distillation_config or {}
+        if self.loss_mode != "distillation":
+            return 0.0
+        if cfg_get(dcfg, "progressive", False):
+            return progressive_alpha(epoch, cfg_get(dcfg, "alpha_schedule", None),
+                                     float(cfg_get(dcfg, "alpha", 0.7)))
+        return float(cfg_get(dcfg, "alpha", 0.7))
+
+    def train_epoch(self, pipeline, epoch: int, rng: jax.Array) -> Dict[str, float]:
+        acc = MetricAccumulator()
+        alpha = jnp.float32(self._alpha_for_epoch(epoch))
+        limit = self.cfg.limit_train_batches
+        max_batches = pipeline.steps_per_epoch() if limit >= 1.0 else \
+            max(1, int(pipeline.steps_per_epoch() * limit))
+        for i, batch in enumerate(pipeline.epoch(rng)):
+            if i >= max_batches or (0 < self.cfg.max_steps <= self._global_step):
+                break
+            step_rng = jax.random.fold_in(rng, 10_000 + i)
+            self.state, probs, m = self._train_step(
+                self.state, batch.image, batch.label, batch.weight,
+                step_rng, alpha)
+            acc.update(probs, batch.label, batch.weight, loss=float(m["loss"]))
+            self._global_step += 1
+        return acc.compute(prefix="train_")
+
+    def eval_epoch(self, pipeline, prefix: str = "val_",
+                   use_ema: bool = False) -> Dict[str, float]:
+        acc = MetricAccumulator()
+        variables = self.state.variables(use_ema=use_ema)
+        for batch in pipeline.epoch(jax.random.PRNGKey(0)):
+            probs, loss = self._eval_step(variables, batch.image, batch.label,
+                                          batch.weight)
+            acc.update(probs, batch.label, batch.weight, loss=float(loss))
+        return acc.compute(prefix=prefix)
+
+    def fit(self, train_pipeline, val_pipeline=None,
+            extra_ckpt_metadata: Optional[Dict[str, Any]] = None) -> FitResult:
+        model_name = str(cfg_get(self.model_config, "name", "model"))
+        ckpt_mgr = None
+        if self.cfg.enable_checkpointing:
+            ckpt_mgr = BestCheckpointManager(
+                self.output_dir / "checkpoints", model_name,
+                monitor=self.cfg.monitor_metric, mode=self.cfg.monitor_mode,
+                save_top_k=self.cfg.save_top_k, save_last=self.cfg.save_last)
+        history: List[Dict[str, float]] = []
+        patience = self.cfg.early_stopping_patience
+        bad_epochs = 0
+        best = None
+        stopped = 0
+        root_rng = jax.random.PRNGKey(self.cfg.seed)
+        for epoch in range(self.epochs):
+            t0 = time.time()
+            epoch_rng = jax.random.fold_in(root_rng, epoch)
+            metrics = self.train_epoch(train_pipeline, epoch, epoch_rng)
+            if val_pipeline is not None and \
+                    (epoch + 1) % self.cfg.check_val_every_n_epoch == 0:
+                metrics.update(self.eval_epoch(val_pipeline, "val_"))
+            metrics["epoch"] = epoch
+            metrics["lr"] = float(self.schedule(self._global_step))
+            metrics["time_s"] = time.time() - t0
+            history.append(metrics)
+            logger.info(
+                "epoch %d: %s", epoch,
+                {k: round(v, 4) for k, v in metrics.items()
+                 if isinstance(v, float)})
+            monitored = metrics.get(self.cfg.monitor_metric)
+            if ckpt_mgr is not None and monitored is not None:
+                is_best = ckpt_mgr.step(self.state, metrics, epoch,
+                                        extra_ckpt_metadata)
+                if is_best:
+                    bad_epochs = 0
+                    best = monitored
+                else:
+                    bad_epochs += 1
+            elif monitored is not None:
+                improved = best is None or (
+                    monitored > best if self.cfg.monitor_mode == "max"
+                    else monitored < best)
+                if improved:
+                    best, bad_epochs = monitored, 0
+                else:
+                    bad_epochs += 1
+            stopped = epoch
+            if patience and bad_epochs >= patience and \
+                    epoch + 1 >= self.cfg.min_epochs:
+                logger.info("early stopping at epoch %d", epoch)
+                break
+            if 0 < self.cfg.max_steps <= self._global_step:
+                break
+        with open(self.output_dir / "history.json", "w") as f:
+            json.dump(history, f, indent=2)
+        return FitResult(
+            best_metric=best if best is not None else (
+                ckpt_mgr.best_metric if ckpt_mgr else None),
+            best_checkpoint=ckpt_mgr.best_path if ckpt_mgr else None,
+            history=history,
+            stopped_epoch=stopped,
+        )
+
+    def test(self, pipeline, checkpoint: Optional[str | Path] = None,
+             prefix: str = "test_") -> Dict[str, float]:
+        """Evaluate, optionally restoring a checkpoint first (the reference
+        always tests the best ckpt — kfold_experiment.py:345)."""
+        if checkpoint is not None:
+            from .checkpoint import load_checkpoint
+
+            variables, _ = load_checkpoint(checkpoint)
+            self.state = self.state.replace(
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats"))
+        return self.eval_epoch(pipeline, prefix=prefix)

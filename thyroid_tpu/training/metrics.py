@@ -1,0 +1,165 @@
+"""Classification metrics as pure functions over sufficient statistics.
+
+Replaces the reference's torchmetrics objects (reference:
+src/training/lightning_modules.py:59-75 — Accuracy, AUROC, F1, Specificity,
+Recall/sensitivity, Precision/PPV, StatScores; NPV derived as
+TN/(TN+FN+1e-6) at :165-169). Design: each batch contributes a small
+statistics pytree (confusion counts + score/label buffers); statistics are
+summed across batches (and, under pjit, across devices via the sharded sum)
+and metrics are computed once at epoch end — numerically identical to
+computing over the full split.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EPS = 1e-6
+
+
+class ConfusionStats(NamedTuple):
+    tp: jnp.ndarray
+    fp: jnp.ndarray
+    tn: jnp.ndarray
+    fn: jnp.ndarray
+
+    def __add__(self, other: "ConfusionStats") -> "ConfusionStats":  # type: ignore[override]
+        return ConfusionStats(*(a + b for a, b in zip(self, other)))
+
+
+def confusion_stats(
+    preds: jnp.ndarray,
+    labels: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+) -> ConfusionStats:
+    """Binary confusion counts; positive class = 1 (cancerous)."""
+    if weights is None:
+        weights = jnp.ones_like(labels, dtype=jnp.float32)
+    preds = preds.astype(jnp.int32)
+    labels = labels.astype(jnp.int32)
+    w = weights.astype(jnp.float32)
+    tp = (w * ((preds == 1) & (labels == 1))).sum()
+    fp = (w * ((preds == 1) & (labels == 0))).sum()
+    tn = (w * ((preds == 0) & (labels == 0))).sum()
+    fn = (w * ((preds == 0) & (labels == 1))).sum()
+    return ConfusionStats(tp, fp, tn, fn)
+
+
+def accuracy(s: ConfusionStats) -> jnp.ndarray:
+    return (s.tp + s.tn) / jnp.maximum(s.tp + s.tn + s.fp + s.fn, EPS)
+
+
+def sensitivity(s: ConfusionStats) -> jnp.ndarray:
+    """Recall of the positive class."""
+    return s.tp / jnp.maximum(s.tp + s.fn, EPS)
+
+
+def specificity(s: ConfusionStats) -> jnp.ndarray:
+    return s.tn / jnp.maximum(s.tn + s.fp, EPS)
+
+
+def precision(s: ConfusionStats) -> jnp.ndarray:
+    """PPV."""
+    return s.tp / jnp.maximum(s.tp + s.fp, EPS)
+
+
+def npv(s: ConfusionStats) -> jnp.ndarray:
+    """TN/(TN+FN+1e-6) — the reference's exact formula
+    (lightning_modules.py:165-169)."""
+    return s.tn / (s.tn + s.fn + EPS)
+
+
+def f1_score(s: ConfusionStats) -> jnp.ndarray:
+    p = precision(s)
+    r = sensitivity(s)
+    return 2 * p * r / jnp.maximum(p + r, EPS)
+
+
+def auroc(scores: np.ndarray, labels: np.ndarray,
+          weights: Optional[np.ndarray] = None) -> float:
+    """Exact AUROC via the Mann-Whitney U statistic (rank-based), with
+    optional sample weights. `scores` are P(class=1)."""
+    scores = np.asarray(scores, dtype=np.float64)
+    labels = np.asarray(labels)
+    if weights is not None:
+        keep = np.asarray(weights) > 0
+        scores, labels = scores[keep], labels[keep]
+    pos = scores[labels == 1]
+    neg = scores[labels == 0]
+    if len(pos) == 0 or len(neg) == 0:
+        return float("nan")
+    order = np.argsort(np.concatenate([pos, neg]), kind="mergesort")
+    ranks = np.empty(len(order), dtype=np.float64)
+    ranks[order] = np.arange(1, len(order) + 1)
+    # midranks for ties
+    allv = np.concatenate([pos, neg])
+    sorted_v = allv[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j + 1 < len(sorted_v) and sorted_v[j + 1] == sorted_v[i]:
+            j += 1
+        if j > i:
+            mid = (i + j) / 2.0 + 1.0
+            ranks[order[i:j + 1]] = mid
+        i = j + 1
+    r_pos = ranks[: len(pos)].sum()
+    u = r_pos - len(pos) * (len(pos) + 1) / 2.0
+    return float(u / (len(pos) * len(neg)))
+
+
+class MetricAccumulator:
+    """Streams batches; finalises the reference's full metric set."""
+
+    def __init__(self) -> None:
+        self.stats = ConfusionStats(*(jnp.zeros(()) for _ in range(4)))
+        self._scores: list[np.ndarray] = []
+        self._labels: list[np.ndarray] = []
+        self._weights: list[np.ndarray] = []
+        self._loss_sum = 0.0
+        self._loss_count = 0.0
+
+    def update(
+        self,
+        probs: jnp.ndarray,
+        labels: jnp.ndarray,
+        weights: Optional[jnp.ndarray] = None,
+        loss: Optional[float] = None,
+    ) -> None:
+        """probs: (B, 2) class probabilities (or (B,) P(class 1))."""
+        probs = jnp.asarray(probs)
+        score1 = probs[:, 1] if probs.ndim == 2 else probs
+        preds = (score1 >= 0.5).astype(jnp.int32)
+        self.stats = self.stats + confusion_stats(preds, labels, weights)
+        self._scores.append(np.asarray(score1))
+        self._labels.append(np.asarray(labels))
+        w = np.ones(len(np.asarray(labels))) if weights is None else np.asarray(weights)
+        self._weights.append(w)
+        if loss is not None:
+            self._loss_sum += float(loss) * float(w.sum())
+            self._loss_count += float(w.sum())
+
+    def compute(self, prefix: str = "") -> Dict[str, float]:
+        s = jax.tree.map(float, self.stats)
+        scores = np.concatenate(self._scores) if self._scores else np.array([])
+        labels = np.concatenate(self._labels) if self._labels else np.array([])
+        weights = np.concatenate(self._weights) if self._weights else np.array([])
+        out = {
+            "acc": float(accuracy(ConfusionStats(*map(jnp.asarray, s)))),
+            "auc": auroc(scores, labels, weights) if len(scores) else float("nan"),
+            "f1": float(f1_score(ConfusionStats(*map(jnp.asarray, s)))),
+            "sensitivity": float(sensitivity(ConfusionStats(*map(jnp.asarray, s)))),
+            "specificity": float(specificity(ConfusionStats(*map(jnp.asarray, s)))),
+            "ppv": float(precision(ConfusionStats(*map(jnp.asarray, s)))),
+            "npv": float(npv(ConfusionStats(*map(jnp.asarray, s)))),
+        }
+        if self._loss_count:
+            out["loss"] = self._loss_sum / self._loss_count
+        return {f"{prefix}{k}": v for k, v in out.items()}
+
+    def confusion_matrix(self) -> np.ndarray:
+        s = jax.tree.map(float, self.stats)
+        return np.array([[s.tn, s.fp], [s.fn, s.tp]])
