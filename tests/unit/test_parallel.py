@@ -1,0 +1,123 @@
+"""SPMD data-parallel tests on the 8-virtual-CPU-device mesh — the
+TPU-specific tier the reference lacks (SURVEY §4 implication).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from thyroid_tpu.data import DevicePipeline, generate_corpus_arrays
+from thyroid_tpu.models import ModelRegistry
+from thyroid_tpu.parallel import (
+    batch_sharding, create_mesh, fsdp_param_sharding, replicated, shard_batch,
+)
+from thyroid_tpu.training import Trainer
+
+
+@pytest.mark.unit
+class TestMesh:
+    def test_create_default_mesh(self):
+        mesh = create_mesh()
+        assert mesh.shape == {"data": 8}
+
+    def test_create_2d_mesh(self):
+        mesh = create_mesh({"data": 4, "model": 2})
+        assert mesh.shape == {"data": 4, "model": 2}
+        assert mesh.axis_names == ("data", "model")
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ValueError, match="needs"):
+            create_mesh({"data": 99})
+
+    def test_batch_sharding_places_shards(self):
+        mesh = create_mesh({"data": 8})
+        x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+        xs = jax.device_put(x, batch_sharding(mesh))
+        assert len(xs.sharding.device_set) == 8
+        assert np.array_equal(np.asarray(xs), x)
+
+    def test_shard_batch_pytree(self):
+        mesh = create_mesh({"data": 4})
+        batch = {"image": np.zeros((8, 4, 4, 1), np.float32),
+                 "label": np.zeros((8,), np.int32)}
+        out = shard_batch(batch, mesh)
+        assert len(out["image"].sharding.device_set) == 4
+
+    def test_fsdp_param_sharding_rules(self):
+        mesh = create_mesh({"data": 4, "model": 2})
+        params = {"w": jnp.zeros((64, 128)), "b": jnp.zeros((128,)),
+                  "odd": jnp.zeros((3, 5))}
+        shardings = fsdp_param_sharding(mesh, "model", params)
+        assert shardings["w"].spec == P("model", None) or \
+            shardings["w"].spec == P(None, "model")
+        assert shardings["b"].spec == P()       # 1-D replicated
+        assert shardings["odd"].spec == P()     # indivisible → replicated
+
+
+@pytest.mark.integration
+class TestDataParallelTraining:
+    def _fit(self, mesh):
+        imgs, labels = generate_corpus_arrays(n_images=32, size=64)
+        order = np.random.RandomState(1).permutation(32)
+        imgs, labels = imgs[order], labels[order]
+        sharding = batch_sharding(mesh) if mesh is not None else None
+        tr = DevicePipeline(imgs, labels, batch_size=16, img_size=32,
+                            train=True, augmentation_level="none",
+                            sharding=sharding)
+        va = DevicePipeline(imgs, labels, batch_size=16, img_size=32,
+                            train=False, sharding=sharding)
+        mcfg = {"name": "resnet18", "img_size": 32, "in_channels": 1,
+                "num_classes": 2}
+        tcfg = {"epochs": 2, "batch_size": 16,
+                "optimizer_params": {"lr": 1e-3},
+                "scheduler_params": None, "monitor_metric": "val_acc",
+                "monitor_mode": "max", "early_stopping_patience": 50}
+        trainer = Trainer(ModelRegistry.create_model(mcfg), mcfg, tcfg,
+                          {"max_epochs": 2, "enable_checkpointing": False,
+                           "deterministic": True},
+                          steps_per_epoch=tr.steps_per_epoch(),
+                          output_dir="/tmp/ptest", mesh=mesh)
+        res = trainer.fit(tr, va)
+        return res, trainer
+
+    def test_sharded_training_runs(self):
+        mesh = create_mesh({"data": 8})
+        res, trainer = self._fit(mesh)
+        assert len(res.history) == 2
+        assert np.isfinite(res.history[-1]["train_loss"])
+        # state replicated across all devices
+        leaf = jax.tree.leaves(trainer.state.params)[0]
+        assert len(leaf.sharding.device_set) == 8
+
+    def test_multi_device_matches_single_device(self):
+        """Data-parallel gradients psum to the same update as one device."""
+        res_multi, _ = self._fit(create_mesh({"data": 8}))
+        res_single, _ = self._fit(None)
+        for k in ("train_loss", "val_acc", "val_loss"):
+            assert res_multi.history[-1][k] == pytest.approx(
+                res_single.history[-1][k], abs=2e-2), k
+
+
+@pytest.mark.integration
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "graft_entry", "/root/repo/__graft_entry__.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        fn, args = mod.entry()
+        out = jax.jit(fn)(*args)
+        out = jax.tree.leaves(out)[0]
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_dryrun_multichip(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "graft_entry", "/root/repo/__graft_entry__.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.dryrun_multichip(8)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..layers import DropPath
-from ..registry import ModelRegistry, cfg_get
+from ..registry import ModelRegistry, cfg_get, resolve_dtype
 
 Dtype = Any
 
@@ -158,4 +158,5 @@ def build_efficientnet(cfg: Any) -> EfficientNet:
         drop_path_rate=float(cfg_get(cfg, "drop_path_rate", 0.2)),
         num_classes=int(cfg_get(cfg, "num_classes", 2)),
         in_channels=int(cfg_get(cfg, "in_channels", 1)),
+        dtype=resolve_dtype(cfg),
     )

@@ -13,7 +13,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..registry import ModelRegistry, cfg_get
+from ..registry import ModelRegistry, cfg_get, resolve_dtype
 
 Dtype = Any
 
@@ -125,4 +125,5 @@ def build_resnet(cfg: Any) -> ResNet:
         num_classes=int(cfg_get(cfg, "num_classes", 2)),
         in_channels=int(cfg_get(cfg, "in_channels", 1)),
         dropout_rate=float(cfg_get(cfg, "dropout_rate", 0.0)),
+        dtype=resolve_dtype(cfg),
     )

@@ -78,6 +78,18 @@ class ModelRegistry:
         cls._registry.clear()
 
 
+def resolve_dtype(cfg: Any):
+    """Map a config 'dtype' field ('bf16'/'f32'/None) to a jnp dtype."""
+    import jax.numpy as jnp
+
+    v = cfg_get(cfg, "dtype", None)
+    if v in (None, "f32", "float32", "32-true"):
+        return jnp.float32
+    if v in ("bf16", "bfloat16", "16-mixed"):
+        return jnp.bfloat16
+    return v
+
+
 def cfg_get(cfg: Any, key: str, default: Any = None) -> Any:
     """Tolerant config getter: attribute, mapping, or nested `params`."""
     if cfg is None:

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..layers import Block, PatchEmbed, trunc_normal_init
-from ..registry import ModelRegistry, cfg_get
+from ..registry import ModelRegistry, cfg_get, resolve_dtype
 
 Dtype = Any
 
@@ -102,6 +102,7 @@ def build_deit(cfg: Any) -> DeiT:
         attn_drop_rate=float(cfg_get(cfg, "attn_drop_rate", 0.0)),
         drop_path_rate=float(cfg_get(cfg, "drop_path_rate", 0.1)),
         quality_aware=bool(cfg_get(cfg, "quality_aware", False)),
+        dtype=resolve_dtype(cfg),
     )
 
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..layers import DropPath, Mlp, trunc_normal_init
-from ..registry import ModelRegistry, cfg_get
+from ..registry import ModelRegistry, cfg_get, resolve_dtype
 
 Dtype = Any
 
@@ -415,6 +415,7 @@ def build_swin(cfg: Any) -> SwinTransformer:
         quality_guided=bool(cfg_get(cfg, "quality_guided", False)),
         uncertainty_head=bool(cfg_get(cfg, "uncertainty_head", False)),
         remat=bool(cfg_get(cfg, "use_checkpoint", False)),
+        dtype=resolve_dtype(cfg),
     )
 
 

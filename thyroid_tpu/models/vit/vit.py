@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..layers import Block, PatchEmbed, sincos_pos_embed, trunc_normal_init
-from ..registry import ModelRegistry, cfg_get
+from ..registry import ModelRegistry, cfg_get, resolve_dtype
 
 Dtype = Any
 
@@ -116,6 +116,7 @@ def build_vit(cfg: Any) -> VisionTransformer:
         pos_embed_type=str(cfg_get(cfg, "pos_embed_type", "learnable")),
         pool_type=str(cfg_get(cfg, "pool_type", "cls")),
         quality_aware=bool(cfg_get(cfg, "quality_aware", False)),
+        dtype=resolve_dtype(cfg),
     )
 
 
