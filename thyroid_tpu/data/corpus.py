@@ -84,16 +84,34 @@ def generate_kfold_splits(
     Fold file i (1-based): test=fold i, val=fold (i+1)%k, train=the rest."""
     split_dir = Path(split_dir)
     split_dir.mkdir(parents=True, exist_ok=True)
+    if k == 1:
+        # single-"fold" smoke runs: just a standard stratified split
+        splits = generate_splits(labels, random_seed=random_seed)
+        path = split_dir / f"{prefix}1.json"
+        with open(path, "w") as f:
+            json.dump({s: splits[s].tolist() for s in ("train", "val", "test")},
+                      f, indent=2)
+        return [path]
     indices = np.arange(len(labels))
     skf = StratifiedKFold(n_splits=k, shuffle=True, random_state=random_seed)
     fold_indices = [test_idx for _, test_idx in skf.split(indices, labels)]
     written = []
     for i in range(k):
         test_idx = fold_indices[i]
-        val_idx = fold_indices[(i + 1) % k]
-        train_idx = np.concatenate(
-            [fold_indices[j] for j in range(k) if j != i and j != (i + 1) % k]
-        )
+        if k >= 3:
+            val_idx = fold_indices[(i + 1) % k]
+            train_idx = np.concatenate(
+                [fold_indices[j] for j in range(k) if j != i and j != (i + 1) % k]
+            )
+        else:
+            # k=2 degenerates under the rotation (empty train); split the
+            # non-test fold 75/25 into train/val instead. (The reference's
+            # k=2 smoke runs reuse pregenerated 7-fold files and never hit
+            # this — scripts/run_all_models_quick_test.py.)
+            other = fold_indices[(i + 1) % k]
+            n_val = max(1, len(other) // 4)
+            val_idx = other[:n_val]
+            train_idx = other[n_val:]
         path = split_dir / f"{prefix}{i + 1}.json"
         with open(path, "w") as f:
             json.dump(

@@ -1,0 +1,78 @@
+"""Experiment manager + CLI entry point.
+
+Rebuilds the reference's ExperimentManager/@hydra.main entry (reference:
+src/experiment/manager.py:21-273): assemble the experiment config from the
+composed tree, dispatch to KFold / Ablation / dynamic class path, execute.
+
+CLI (Hydra-compatible override syntax via thyroid_tpu.config.compose):
+
+    python -m thyroid_tpu.experiment.manager model=cnn/resnet18 \
+        kfold.num_folds=2 trainer.max_epochs=1 dataset=synthetic
+"""
+from __future__ import annotations
+
+import importlib
+import sys
+from typing import Any, Optional, Sequence
+
+from ..config import compose
+from ..config.node import ConfigNode
+from ..models import cfg_get
+from ..utils.logging import get_logger
+from .ablation_experiment import AblationExperiment
+from .all_models_experiment import AllModelsFullKFoldExperiment
+from .base_experiment import BaseExperiment
+from .kfold_experiment import KFoldExperiment
+
+logger = get_logger(__name__)
+
+
+class ExperimentManager:
+    def __init__(self, config: ConfigNode):
+        self.config = config
+
+    def build_experiment(self) -> BaseExperiment:
+        cfg = self.config
+        exp_node = cfg_get(cfg, "experiment", None)
+        if exp_node is not None:
+            # experiment node overrides/augments the root groups
+            merged = cfg.copy()
+            for key in ("model", "dataset", "trainer", "training_content",
+                        "training", "kfold", "ablation", "distillation",
+                        "student_model", "params", "name",
+                        "experiment_class_path"):
+                v = cfg_get(exp_node, key, None)
+                if v is not None:
+                    merged[key] = v
+            cfg = merged
+        cfg.setdefault("name", cfg_get(cfg, "experiment_name", None)
+                       or cfg_get(cfg_get(cfg, "model", {}), "name", "experiment"))
+
+        class_path = cfg_get(cfg, "experiment_class_path", None)
+        if class_path:
+            module_name, _, cls_name = str(class_path).rpartition(".")
+            cls = getattr(importlib.import_module(module_name), cls_name)
+            return cls(cfg)
+        ablation = cfg_get(cfg, "ablation", None)
+        if ablation is not None and cfg_get(ablation, "is_primary_ablation_experiment",
+                                            bool(cfg_get(ablation, "parameter_space", None))):
+            return AblationExperiment(cfg)
+        return KFoldExperiment(cfg)
+
+    def run(self) -> Any:
+        experiment = self.build_experiment()
+        logger.info("dispatching %s", type(experiment).__name__)
+        return experiment.execute()
+
+
+def launch_experiment(overrides: Optional[Sequence[str]] = None,
+                      config_name: str = "config",
+                      config_dir: Optional[str] = None) -> Any:
+    cfg = compose(config_name=config_name,
+                  overrides=overrides if overrides is not None else sys.argv[1:],
+                  config_dir=config_dir)
+    return ExperimentManager(cfg).run()
+
+
+if __name__ == "__main__":
+    launch_experiment()

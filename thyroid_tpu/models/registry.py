@@ -94,12 +94,15 @@ def cfg_get(cfg: Any, key: str, default: Any = None) -> Any:
     """Tolerant config getter: attribute, mapping, or nested `params`."""
     if cfg is None:
         return default
-    if hasattr(cfg, key):
+    # mapping lookup first — attribute access on dicts would hit method names
+    # like 'values'/'items'/'keys'
+    if isinstance(cfg, dict):
+        if key in cfg and cfg[key] is not None:
+            return cfg[key]
+    elif hasattr(cfg, key):
         v = getattr(cfg, key)
         if v is not None:
             return v
-    if isinstance(cfg, dict) and key in cfg and cfg[key] is not None:
-        return cfg[key]
     params = None
     if hasattr(cfg, "params"):
         params = getattr(cfg, "params")
