@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Grad-CAM generation for any registered model (reference:
+scripts/generate_vit_gradcam.py + generate_densenet_gradcam.py)."""
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--split", default="test")
+    p.add_argument("--n-samples", type=int, default=4)
+    p.add_argument("--output-dir", default="outputs/gradcam")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from thyroid_tpu.analysis.gradcam import gradcam, gradcam_overlay
+    from thyroid_tpu.config import compose
+    from thyroid_tpu.data.pipeline import create_data_loaders
+    from thyroid_tpu.models import ModelRegistry
+    from thyroid_tpu.training.checkpoint import load_checkpoint
+
+    cfg = compose(overrides=[f"dataset={args.dataset}"])
+    pipe = create_data_loaders(cfg.dataset.to_dict(), splits=(args.split,))[args.split]
+    model = ModelRegistry.create_model({"name": args.model})
+    variables, _ = load_checkpoint(args.checkpoint)
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    batch = next(iter(pipe.epoch(jax.random.PRNGKey(0))))
+    for i in range(min(args.n_samples, batch.image.shape[0])):
+        img = batch.image[i:i + 1]
+        heat, cls, conf = gradcam(model, variables, img)
+        label = int(batch.label[i])
+        gradcam_overlay(
+            heat, np.asarray(img[0]),
+            out / f"gradcam_{args.model}_{i}.png",
+            title=f"true={label} pred={cls} conf={conf:.2f}")
+        print(f"sample {i}: true={label} pred={cls} conf={conf:.3f}")
+    print("wrote figures to", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""K-fold knowledge distillation: CNN teacher → DeiT student (reference:
+scripts/run_densenet169_deit_tiny_distillation.py:25-118 — per-fold teacher
+checkpoints, aggregated mean/std JSON). Teachers are trained first if their
+checkpoints are missing."""
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--teacher", default="densenet169")
+    p.add_argument("--student", default="deit_tiny")
+    p.add_argument("--folds", type=int, default=7)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--alpha", type=float, default=0.7)
+    p.add_argument("--temperature", type=float, default=4.0)
+    p.add_argument("--output-dir", default="outputs/distillation")
+    args = p.parse_args()
+
+    from thyroid_tpu.config import compose
+    from thyroid_tpu.experiment.kfold_experiment import KFoldExperiment
+    from thyroid_tpu.training.checkpoint import get_best_checkpoint
+
+    out = Path(args.output_dir)
+
+    # 1. teacher k-fold (skipped for folds whose ckpt already exists)
+    teacher_cfg = compose(overrides=[
+        f"model=cnn/{args.teacher}", f"dataset={args.dataset}",
+        f"kfold.num_folds={args.folds}", f"trainer.max_epochs={args.epochs}",
+        f"training.epochs={args.epochs}",
+    ])
+    teacher_cfg["output_dir"] = str(out / "teacher")
+    teacher_exp = KFoldExperiment(teacher_cfg)
+    teacher_exp.setup()
+    fold_ckpts = {}
+    for fold in range(1, args.folds + 1):
+        ckpt = get_best_checkpoint(
+            out / "teacher" / args.teacher / f"fold_{fold}" / "checkpoints",
+            args.teacher)
+        if ckpt is None:
+            res = teacher_exp.run_fold(fold)
+            ckpt = res.get("best_checkpoint")
+        fold_ckpts[fold] = str(ckpt)
+        print(f"teacher fold {fold}: {ckpt}", flush=True)
+
+    # 2. per-fold distillation (fold-matched teacher ckpt)
+    fold_results = []
+    for fold in range(1, args.folds + 1):
+        cfg = compose(overrides=[
+            f"model=vit/{args.student}", f"dataset={args.dataset}",
+            "kfold.num_folds=1", f"trainer.max_epochs={args.epochs}",
+            f"training.epochs={args.epochs}", "training=distillation",
+        ])
+        cfg["output_dir"] = str(out / f"student_fold_{fold}")
+        cfg["distillation"] = {
+            "enabled": True, "temperature": args.temperature,
+            "alpha": args.alpha, "distillation_type": "soft",
+            "progressive": True, "alpha_schedule": [[0, 0.3], [20, 0.5], [40, args.alpha]],
+            "teacher_checkpoint": fold_ckpts[fold],
+            "teacher_model": {"name": args.teacher},
+            "teacher_model_name": args.teacher,
+        }
+        exp = KFoldExperiment(cfg)
+        exp.setup()
+        exp.kfold_config = {**exp.kfold_config,
+                            "split_dir": cfg.dataset.split_dir}
+        result = exp.run_fold(fold)
+        result["teacher_checkpoint"] = fold_ckpts[fold]
+        fold_results.append(result)
+        print(f"student fold {fold}: acc={result.get('test_acc')}", flush=True)
+
+    import numpy as np
+    accs = [r["test_acc"] for r in fold_results if "test_acc" in r]
+    summary = {
+        "teacher": args.teacher, "student": args.student,
+        "folds": fold_results,
+        "mean_test_acc": float(np.mean(accs)) if accs else None,
+        "std_test_acc": float(np.std(accs)) if accs else None,
+    }
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "distillation_results.json").write_text(
+        json.dumps(summary, indent=2, default=str))
+    print("mean/std test acc:", summary["mean_test_acc"], summary["std_test_acc"])
+
+
+if __name__ == "__main__":
+    main()

@@ -22,3 +22,12 @@ A ground-up rebuild of the capabilities of gogolB/thyroid-vit-cnn-comparison
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# THYROID_PLATFORM=cpu forces the JAX platform even when a site hook pins it
+# (some environments register a TPU plugin and override JAX_PLATFORMS).
+if _os.environ.get("THYROID_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["THYROID_PLATFORM"])
