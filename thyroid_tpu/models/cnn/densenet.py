@@ -66,12 +66,12 @@ class DenseNet(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  capture: bool = False) -> jnp.ndarray:
         x = nn.Conv(self.num_init_features, (7, 7), strides=(2, 2),
-                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    padding=[(3, 3), (3, 3)], use_bias=False, dtype=self.dtype,
                     name="conv0")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="norm0")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         features = self.num_init_features
         for i, n_layers in enumerate(self.block_config):
             for j in range(n_layers):

@@ -27,8 +27,10 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pad = self.kernel // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.strides, self.strides), padding="SAME",
+                    strides=(self.strides, self.strides),
+                    padding=[(pad, pad), (pad, pad)],  # torch-style symmetric
                     use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(x)
@@ -85,12 +87,13 @@ class ResNet(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  capture: bool = False) -> jnp.ndarray:
         block_cls = BasicBlock if self.block == "basic" else Bottleneck
-        x = nn.Conv(self.width, (7, 7), strides=(2, 2), padding="SAME",
+        x = nn.Conv(self.width, (7, 7), strides=(2, 2),
+                    padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for stage, n_blocks in enumerate(self.layers):
             feats = self.width * 2 ** stage
             for i in range(n_blocks):

@@ -24,6 +24,7 @@ from ..models import cfg_get
 from ..models.base import create_and_init
 from ..parallel.mesh import batch_sharding, create_mesh, replicated
 from ..utils.logging import get_logger
+from ..utils.observe import MetricLogger, StepTimer
 from .checkpoint import BestCheckpointManager
 from .losses import (
     cross_entropy, deit_dual_loss, distillation_loss, progressive_alpha,
@@ -286,6 +287,8 @@ class Trainer:
                 monitor=self.cfg.monitor_metric, mode=self.cfg.monitor_mode,
                 save_top_k=self.cfg.save_top_k, save_last=self.cfg.save_last)
         history: List[Dict[str, float]] = []
+        metric_logger = MetricLogger(self.output_dir / "logs")
+        step_timer = StepTimer()
         patience = self.cfg.early_stopping_patience
         bad_epochs = 0
         best = None
@@ -301,6 +304,9 @@ class Trainer:
             metrics["epoch"] = epoch
             metrics["lr"] = float(self.schedule(self._global_step))
             metrics["time_s"] = time.time() - t0
+            step_timer.tick()
+            metrics.update(step_timer.stats())
+            metric_logger.log(metrics, step=epoch)
             history.append(metrics)
             logger.info(
                 "epoch %d: %s", epoch,
@@ -330,6 +336,7 @@ class Trainer:
                 break
             if 0 < self.cfg.max_steps <= self._global_step:
                 break
+        metric_logger.close()
         with open(self.output_dir / "history.json", "w") as f:
             json.dump(history, f, indent=2)
         return FitResult(
