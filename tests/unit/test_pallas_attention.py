@@ -1,0 +1,65 @@
+"""Pallas fused window-attention kernel correctness (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thyroid_tpu.models.base import create_and_init
+from thyroid_tpu.ops.attention import (
+    fused_window_attention, window_attention_reference,
+)
+
+RS = np.random.RandomState(3)
+
+
+@pytest.mark.unit
+class TestFusedWindowAttention:
+    def _qkvb(self, bw=8, h=3, n=49, d=32):
+        mk = lambda: jnp.asarray(RS.randn(bw, h, n, d).astype(np.float32))
+        bias = jnp.asarray((RS.randn(h, n, n) * 0.1).astype(np.float32))
+        return mk(), mk(), mk(), bias
+
+    def test_matches_reference_no_mask(self):
+        q, k, v, bias = self._qkvb()
+        want = np.asarray(window_attention_reference(q, k, v, bias))
+        got = np.asarray(fused_window_attention(q, k, v, bias, interpret=True))
+        assert np.abs(got - want).max() < 1e-5
+
+    def test_matches_reference_with_shift_mask(self):
+        q, k, v, bias = self._qkvb()
+        mask = jnp.asarray(
+            np.where(RS.rand(4, 49, 49) > 0.8, -100.0, 0.0).astype(np.float32))
+        want = np.asarray(window_attention_reference(q, k, v, bias, mask))
+        got = np.asarray(fused_window_attention(q, k, v, bias, mask,
+                                                interpret=True))
+        assert np.abs(got - want).max() < 1e-5
+
+    def test_odd_token_padding(self):
+        # N=49 pads to 64 internally; padded keys must get zero probability
+        q, k, v, bias = self._qkvb(n=49)
+        got = np.asarray(fused_window_attention(q, k, v, bias, interpret=True))
+        assert got.shape == (8, 3, 49, 32)
+        assert np.isfinite(got).all()
+
+    def test_bf16_inputs(self):
+        q, k, v, bias = self._qkvb()
+        got = np.asarray(fused_window_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), bias, interpret=True)).astype(np.float32)
+        want = np.asarray(window_attention_reference(q, k, v, bias))
+        assert np.abs(got - want).max() < 0.05
+
+    def test_swin_model_parity(self):
+        cfg = {"name": "swin_tiny", "img_size": 32, "in_channels": 1,
+               "num_classes": 2,
+               "params": {"patch_size": 4, "embed_dim": 16,
+                          "depths": [1, 1], "num_heads": [2, 2],
+                          "window_size": 4, "drop_path_rate": 0.0}}
+        m0, v0 = create_and_init(cfg, jax.random.PRNGKey(0))
+        cfg2 = dict(cfg)
+        cfg2["params"] = dict(cfg["params"], use_pallas_attention=True)
+        m1, _ = create_and_init(cfg2, jax.random.PRNGKey(0))
+        x = jnp.asarray(RS.rand(2, 32, 32, 1).astype(np.float32))
+        a = np.asarray(m0.apply(v0, x, train=False))
+        b = np.asarray(m1.apply(v0, x, train=False))
+        assert np.abs(a - b).max() < 1e-5

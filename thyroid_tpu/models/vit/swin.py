@@ -95,6 +95,7 @@ class WindowAttention(nn.Module):
     proj_drop_rate: float = 0.0
     contrast_adaptive: bool = False
     quality_guided: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -109,18 +110,32 @@ class WindowAttention(nn.Module):
                        kernel_init=trunc_normal_init, name="qkv")(x)
         qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)
-        q = q.transpose(0, 2, 1, 3) * scale                     # (B_, h, n, hd)
+        q = q.transpose(0, 2, 1, 3)                             # (B_, h, n, hd)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
-
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                          preferred_element_type=jnp.float32)
 
         table = self.param("relative_position_bias_table", trunc_normal_init,
                            ((2 * ws - 1) ** 2, self.num_heads))
         idx = relative_position_index(ws)
-        bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
-        attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
+        bias_nnh = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
+
+        # Fused Pallas path: (QKᵀ·s + bias + mask → softmax → ·V) in one
+        # VMEM-resident kernel. The contrast-adaptive / capture variants need
+        # the materialised attention matrix and use the XLA path.
+        if self.use_pallas and not capture and not self.contrast_adaptive \
+                and (deterministic or self.attn_drop_rate == 0.0):
+            from ...ops.attention import fused_window_attention
+
+            out = fused_window_attention(
+                q, k, v, bias_nnh.transpose(2, 0, 1).astype(jnp.float32),
+                mask=mask, scale=scale)
+            out = out.transpose(0, 2, 1, 3).reshape(b_, n, c).astype(self.dtype)
+            return self._output_proj(out, deterministic)
+
+        q = q * scale
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = attn + bias_nnh.transpose(2, 0, 1)[None].astype(attn.dtype)
 
         if mask is not None:
             nw = mask.shape[0]
@@ -141,7 +156,10 @@ class WindowAttention(nn.Module):
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        return self._output_proj(out, deterministic)
 
+    def _output_proj(self, out: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        c = out.shape[-1]
         if self.quality_guided:
             g = nn.Dense(c // 4, dtype=self.dtype, name="quality_gate_1")(out)
             g = nn.relu(g)
@@ -168,6 +186,7 @@ class SwinBlock(nn.Module):
     drop_path_rate: float = 0.0
     contrast_adaptive: bool = False
     quality_guided: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -193,6 +212,7 @@ class SwinBlock(nn.Module):
             self.attn_drop_rate, self.drop_rate,
             contrast_adaptive=self.contrast_adaptive,
             quality_guided=self.quality_guided,
+            use_pallas=self.use_pallas,
             dtype=self.dtype, name="attn",
         )(windows, mask=mask, deterministic=deterministic, capture=capture)
 
@@ -257,6 +277,7 @@ class SwinStage(nn.Module):
     contrast_adaptive: bool = False
     quality_guided: bool = False
     quality_aware_merge: bool = False
+    use_pallas: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -277,6 +298,7 @@ class SwinStage(nn.Module):
                 drop_path_rate=float(self.drop_path_rates[i]),
                 contrast_adaptive=self.contrast_adaptive,
                 quality_guided=self.quality_guided,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype, name=f"block_{i}",
             )(x, deterministic, capture)
         if capture:
@@ -309,6 +331,7 @@ class SwinTransformer(nn.Module):
     contrast_adaptive: bool = False
     quality_guided: bool = False
     uncertainty_head: bool = False
+    use_pallas_attention: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -353,6 +376,7 @@ class SwinTransformer(nn.Module):
                 contrast_adaptive=ca,
                 quality_guided=qg,
                 quality_aware_merge=self.medical_adaptations,
+                use_pallas=self.use_pallas_attention,
                 remat=self.remat,
                 dtype=self.dtype,
                 name=f"stage_{i}",
@@ -414,6 +438,7 @@ def build_swin(cfg: Any) -> SwinTransformer:
         contrast_adaptive=bool(cfg_get(cfg, "contrast_adaptive", False)),
         quality_guided=bool(cfg_get(cfg, "quality_guided", False)),
         uncertainty_head=bool(cfg_get(cfg, "uncertainty_head", False)),
+        use_pallas_attention=bool(cfg_get(cfg, "use_pallas_attention", False)),
         remat=bool(cfg_get(cfg, "use_checkpoint", False)),
         dtype=resolve_dtype(cfg),
     )
