@@ -79,7 +79,13 @@ def fused_window_attention(
         scale = d ** -0.5
     np_ = _round_up(n, 16)
     dp = _round_up(d, 128)
-    tw = min(window_tile, bw)
+    # auto-size the window tile to VMEM: q,k,v,o blocks (bf16/f32) + the
+    # per-window mask must fit well under the ~16 MB scoped limit with
+    # double buffering.
+    bytes_per_window = (4 * h * np_ * dp * q.dtype.itemsize
+                        + np_ * np_ * 4)
+    budget = 4 * 1024 * 1024
+    tw = min(window_tile, bw, max(1, budget // bytes_per_window))
     while bw % tw:
         tw -= 1
 
