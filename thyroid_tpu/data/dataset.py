@@ -130,7 +130,16 @@ class CARSThyroidDataset:
         return img, int(self.labels[i])
 
     def load_images(self, num_threads: int = 8) -> np.ndarray:
-        """Bulk-decode the whole split → (N, H, W, 1) uint16."""
+        """Bulk-decode the whole split → (N, H, W, 1) uint16.
+
+        Uses the native C++ threaded decoder (thyroid_tpu/native) when the
+        corpus is PNG/PGM with uniform shapes; otherwise a Python thread pool
+        over the cv2→PIL→imageio fallback chain."""
+        from ..native import decode_batch_native
+
+        native = decode_batch_native(self.paths, num_threads)
+        if native is not None:
+            return native
         with ThreadPoolExecutor(max_workers=num_threads) as pool:
             imgs = list(pool.map(decode_image, self.paths))
         return np.stack(imgs)[..., None]
