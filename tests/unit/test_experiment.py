@@ -167,3 +167,39 @@ class TestDistillationExperiment:
         assert dresults["family"] == "distilled_vit"
         assert dresults["student_model_name"] == "deit_tiny"
         assert isinstance(dresults["student_param_count"], int)
+
+
+@pytest.mark.unit
+class TestExperimentPresets:
+    """Every configs/experiment/*.yaml must resolve through the manager
+    (reference experiment files: configs/experiment/*.yaml)."""
+
+    def test_all_presets_resolve(self):
+        from pathlib import Path
+
+        from thyroid_tpu.config import DEFAULT_CONFIG_DIR, compose
+        from thyroid_tpu.experiment import (AblationExperiment,
+                                            ExperimentManager)
+
+        presets = sorted(
+            p.stem for p in (Path(DEFAULT_CONFIG_DIR) / "experiment").glob("*.yaml"))
+        assert len(presets) >= 9
+        for preset in presets:
+            cfg = compose(overrides=[f"experiment={preset}", "dataset=synthetic"])
+            exp = ExperimentManager(cfg).build_experiment()
+            if preset.startswith("ablation"):
+                assert isinstance(exp, AblationExperiment)
+            else:
+                name = exp.model_config.get("name")
+                assert name, f"{preset} resolved no model"
+
+    def test_distillation_preset_carries_teacher(self):
+        from thyroid_tpu.config import compose
+        from thyroid_tpu.experiment import ExperimentManager
+        from thyroid_tpu.models import cfg_get
+
+        cfg = compose(overrides=["experiment=densenet169_distill_deit_tiny_kfold",
+                                 "dataset=synthetic"])
+        exp = ExperimentManager(cfg).build_experiment()
+        assert exp.distillation_config is not None
+        assert cfg_get(exp.distillation_config, "teacher_model_name") == "densenet169"

@@ -35,14 +35,33 @@ class ExperimentManager:
         cfg = self.config
         exp_node = cfg_get(cfg, "experiment", None)
         if exp_node is not None:
-            # experiment node overrides/augments the root groups
+            # experiment node overrides/augments the root groups; a
+            # `config_group` field inside model/student_model resolves a model
+            # YAML first, then the node's other fields override it (the
+            # analogue of Hydra's `override /model:` in the reference's
+            # experiment files — configs/experiment/*.yaml).
+            from ..config.loader import load_model_config
+
             merged = cfg.copy()
             for key in ("model", "dataset", "trainer", "training_content",
                         "training", "kfold", "ablation", "distillation",
                         "student_model", "params", "name",
                         "experiment_class_path"):
                 v = cfg_get(exp_node, key, None)
-                if v is not None:
+                if v is None:
+                    continue
+                group = cfg_get(v, "config_group", None) if hasattr(v, "get") else None
+                if group is not None:
+                    base = load_model_config(str(group))
+                    overrides = {k2: v2 for k2, v2 in v.items()
+                                 if k2 != "config_group"}
+                    base.merge(overrides)
+                    v = base
+                if key in ("kfold", "training", "trainer", "dataset") and \
+                        key in merged and hasattr(merged[key], "merge"):
+                    merged[key] = merged[key].copy()
+                    merged[key].merge(v)
+                else:
                     merged[key] = v
             cfg = merged
         cfg.setdefault("name", cfg_get(cfg, "experiment_name", None)
