@@ -10,6 +10,7 @@ from .evaluation import (
 from .charts import (
     REFERENCE_RESULTS, load_results_from_summary, performance_chart,
     accuracy_vs_params_chart, visualize_samples, visualize_image_statistics,
+    visualize_augmentations, visualize_batch_diversity,
 )
 
 __all__ = [
@@ -20,5 +21,6 @@ __all__ = [
     "evaluate_ensemble_kfold", "confusion_roc_figure", "REFERENCE_RESULTS",
     "load_results_from_summary", "performance_chart",
     "accuracy_vs_params_chart", "visualize_samples",
-    "visualize_image_statistics",
+    "visualize_image_statistics", "visualize_augmentations",
+    "visualize_batch_diversity",
 ]

@@ -172,3 +172,60 @@ def visualize_image_statistics(images: np.ndarray, labels: np.ndarray,
         plt.close(fig)
         return None
     return fig
+
+
+def visualize_augmentations(image: np.ndarray, augmented: Dict[str, np.ndarray],
+                            output_path: Optional[str | Path] = None):
+    """Original vs augmented views grid (reference: visualize.py:160-208)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(augmented) + 1
+    fig, axes = plt.subplots(1, n, figsize=(3 * n, 3.2))
+    axes[0].imshow(image.squeeze(), cmap="gray")
+    axes[0].set_title("original", fontsize=9)
+    for ax, (name, img) in zip(axes[1:], augmented.items()):
+        ax.imshow(np.asarray(img).squeeze(), cmap="gray")
+        ax.set_title(name, fontsize=9)
+    for ax in axes:
+        ax.axis("off")
+    fig.tight_layout()
+    if output_path:
+        fig.savefig(output_path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        return None
+    return fig
+
+
+def visualize_batch_diversity(batch: np.ndarray,
+                              output_path: Optional[str | Path] = None):
+    """Per-batch intensity spread + sample grid (reference:
+    visualize.py:210-318)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    batch = np.asarray(batch)
+    n = min(8, len(batch))
+    fig, axes = plt.subplots(2, max(n // 2, 1) + 1, figsize=(3 * (n // 2 + 1), 6))
+    for i in range(n):
+        ax = axes[i % 2][i // 2]
+        ax.imshow(batch[i].squeeze(), cmap="gray")
+        ax.axis("off")
+    stat_ax = axes[0][-1]
+    means = batch.reshape(len(batch), -1).mean(axis=1)
+    stds = batch.reshape(len(batch), -1).std(axis=1)
+    stat_ax.scatter(means, stds)
+    stat_ax.set_xlabel("mean")
+    stat_ax.set_ylabel("std")
+    stat_ax.set_title("batch diversity")
+    axes[1][-1].axis("off")
+    fig.tight_layout()
+    if output_path:
+        fig.savefig(output_path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        return None
+    return fig
