@@ -35,8 +35,12 @@ def save_checkpoint(
     path: str | Path,
     state: Any,
     metadata: Optional[Dict[str, Any]] = None,
+    include_opt_state: bool = False,
 ) -> Path:
-    """Save params/batch_stats/step (+ metadata.json sidecar)."""
+    """Save params/batch_stats/step (+ metadata.json sidecar). With
+    `include_opt_state` the optimizer state is stored too, enabling exact
+    training resume — a capability the reference lacks (SURVEY §5.4: "no
+    mid-epoch resume anywhere")."""
     path = Path(path).absolute()
     if path.exists():
         shutil.rmtree(path)
@@ -46,6 +50,8 @@ def save_checkpoint(
         if state.batch_stats is not None else {},
         "step": int(state.step),
     }
+    if include_opt_state:
+        payload["opt_state"] = jax.device_get(state.opt_state)
     _checkpointer().save(path, payload)
     if metadata is not None:
         with open(path / "metadata.json", "w") as f:

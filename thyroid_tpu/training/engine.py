@@ -347,6 +347,34 @@ class Trainer:
             stopped_epoch=stopped,
         )
 
+    def save_state(self, path: str | Path) -> Path:
+        """Full training state (params+BN+opt_state+step) for exact resume."""
+        from .checkpoint import save_checkpoint
+
+        return save_checkpoint(path, self.state, include_opt_state=True)
+
+    def resume_from(self, path: str | Path) -> None:
+        """Restore a full training state saved by save_state; a plain model
+        checkpoint (no opt_state) warm-starts params only."""
+        from .checkpoint import _checkpointer
+        from pathlib import Path as _P
+
+        payload = _checkpointer().restore(_P(path).absolute())
+        replacements = dict(
+            params=payload["params"],
+            batch_stats=payload.get("batch_stats") or None,
+            step=jnp.asarray(payload.get("step", 0), dtype=jnp.int32),
+        )
+        if payload.get("opt_state") is not None:
+            # orbax restores raw pytrees; rebuild the typed optax state by
+            # flattening onto the freshly-initialised structure
+            template = self.state.opt_state
+            leaves = jax.tree.leaves(payload["opt_state"])
+            treedef = jax.tree.structure(template)
+            replacements["opt_state"] = jax.tree.unflatten(treedef, leaves)
+        self.state = self.state.replace(**replacements)
+        self._global_step = int(payload.get("step", 0))
+
     def test(self, pipeline, checkpoint: Optional[str | Path] = None,
              prefix: str = "test_") -> Dict[str, float]:
         """Evaluate, optionally restoring a checkpoint first (the reference
