@@ -261,3 +261,47 @@ class TestTrainerFit:
         assert trainer.loss_mode == "distillation"
         res = trainer.fit(tr, va)
         assert np.isfinite(res.history[0]["train_loss"])
+
+
+@pytest.mark.integration
+class TestResumeAndPrecision:
+    def test_full_state_resume(self, tmp_path):
+        tr, va = _make_pipelines()
+        mcfg = {"name": "resnet18", "img_size": 32, "in_channels": 1,
+                "num_classes": 2}
+        t1 = _trainer(mcfg, epochs=2, steps=tr.steps_per_epoch(), out=str(tmp_path))
+        t1.fit(tr, va)
+        path = t1.save_state(tmp_path / "full.ckpt")
+        t2 = _trainer(mcfg, epochs=2, steps=tr.steps_per_epoch(), out=str(tmp_path))
+        t2.resume_from(path)
+        a = jax.tree.leaves(t1.state.params)[0]
+        b = jax.tree.leaves(t2.state.params)[0]
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        oa = jax.tree.leaves(t1.state.opt_state)[0]
+        ob = jax.tree.leaves(t2.state.opt_state)[0]
+        assert np.array_equal(np.asarray(oa), np.asarray(ob))
+        assert int(t2.state.step) == int(t1.state.step)
+
+    def test_bf16_precision_reaches_model(self, tmp_path):
+        import jax.numpy as jnp
+
+        from thyroid_tpu.models import ModelRegistry
+
+        mcfg = {"name": "resnet18", "img_size": 32, "in_channels": 1,
+                "num_classes": 2}
+        tcfg = {"epochs": 1, "batch_size": 8,
+                "optimizer_params": {"lr": 1e-3}, "scheduler_params": None,
+                "monitor_metric": "val_acc", "monitor_mode": "max",
+                "early_stopping_patience": 5}
+        trainer = Trainer(ModelRegistry.create_model(mcfg), mcfg, tcfg,
+                          {"max_epochs": 1, "enable_checkpointing": False,
+                           "precision": "bf16"},
+                          steps_per_epoch=1, output_dir=str(tmp_path))
+        assert trainer.model.dtype == jnp.bfloat16
+        # params stay f32
+        leaf = jax.tree.leaves(trainer.state.params)[0]
+        assert leaf.dtype == jnp.float32
+        # a training step runs
+        tr, _ = _make_pipelines(n=16)
+        m = trainer.train_epoch(tr, 0, jax.random.PRNGKey(0))
+        assert np.isfinite(m["train_loss"])

@@ -96,10 +96,21 @@ class Trainer:
         loss_mode: Optional[str] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
     ):
-        self.model = model
         self.model_config = model_config
         self.training_config = training_config
         self.cfg = TrainerConfig.from_config(trainer_config, training_config)
+        # trainer.precision drives the compute dtype: rebuild the model with
+        # dtype=bf16 unless the model config pins one explicitly. (Params and
+        # optimizer state stay f32 — flax param_dtype default.)
+        if self.cfg.precision == "bf16" and cfg_get(model_config, "dtype", None) is None:
+            mc = model_config.to_dict() if hasattr(model_config, "to_dict") \
+                else dict(model_config)
+            mc["dtype"] = "bf16"
+            from ..models import ModelRegistry
+
+            model = ModelRegistry.create_model(mc)
+            self.model_config = mc
+        self.model = model
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self.teacher_fn = teacher_fn
@@ -140,7 +151,7 @@ class Trainer:
         )
 
         rng = jax.random.PRNGKey(self.cfg.seed)
-        _, variables = create_and_init(model_config, rng)
+        _, variables = create_and_init(self.model_config, rng)
         depth = int(cfg_get(model_config, "depth", 0) or 0) or \
             len(tuple(cfg_get(model_config, "depths", ()) or ())) or 12
         tx = build_optimizer(
