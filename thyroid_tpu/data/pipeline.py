@@ -30,20 +30,36 @@ from ..ops.quality import QualityParams, quality_preprocess
 from .dataset import CARSThyroidDataset
 
 
-@partial(jax.jit, static_argnames=("img_size", "quality", "params"))
+@partial(jax.jit, static_argnames=("img_size", "quality", "params", "chunk"))
 def prepare_images(
     raw: jnp.ndarray,
     img_size: int,
     quality: bool = False,
     params: QualityParams = QualityParams(),
+    chunk: int = 32,
 ) -> jnp.ndarray:
     """One-time fused preprocess: uint16-scale → [quality pipeline] → resize →
-    per-image percentile normalisation → (N, S, S, 1) float32 in [0,1]."""
-    x = to_uint16_scale(raw)
-    if quality:
-        x = quality_preprocess(x, params)
-    x = resize_bilinear(x, img_size)
-    return adaptive_normalize(x, method="percentile", percentiles=(1.0, 99.0))
+    per-image percentile normalisation → (N, S, S, 1) float32 in [0,1].
+
+    Processed in fixed-size chunks (lax.map) so the spatial-filter and CLAHE
+    intermediates stay bounded regardless of split size — a whole 450-image
+    split at 512² would otherwise materialise multi-GB temporaries."""
+
+    def one_chunk(x):
+        x = to_uint16_scale(x)
+        if quality:
+            x = quality_preprocess(x, params)
+        x = resize_bilinear(x, img_size)
+        return adaptive_normalize(x, method="percentile", percentiles=(1.0, 99.0))
+
+    n = raw.shape[0]
+    if n <= chunk:
+        return one_chunk(raw)
+    pad = (-n) % chunk
+    padded = jnp.pad(raw, ((0, pad), (0, 0), (0, 0), (0, 0)), mode="edge")
+    chunks = padded.reshape(-1, chunk, *raw.shape[1:])
+    out = jax.lax.map(one_chunk, chunks)
+    return out.reshape(-1, img_size, img_size, raw.shape[-1])[:n]
 
 
 @dataclass

@@ -98,11 +98,16 @@ def _interp_luts(x8: jnp.ndarray, luts: jnp.ndarray, grid: tuple[int, int]) -> j
     x1 = jnp.clip(x0f + 1, 0, gw - 1).astype(jnp.int32)
 
     v = jnp.clip(x8, 0, 255).astype(jnp.int32)                 # (B, H, W)
+    flat_luts = luts.reshape(-1)
+    b_idx = jnp.arange(b, dtype=jnp.int32).reshape(b, 1, 1)
 
     def gather(yy, xx):
-        # luts[b, yy[h], xx[w], v[b,h,w]] → (B, H, W)
-        lut_rows = luts[:, yy, :, :][:, :, xx, :]              # (B, H, W, 256)
-        return jnp.take_along_axis(lut_rows, v[..., None], axis=-1)[..., 0]
+        # luts[b, yy[h], xx[w], v[b,h,w]] as ONE flat gather of B·H·W
+        # elements — never materialises a (B, H, W, 256) intermediate
+        # (at 512² split scale that would be tens of GB).
+        idx = ((b_idx * gh + yy.reshape(1, h, 1)) * gw
+               + xx.reshape(1, 1, w)) * 256 + v
+        return jnp.take(flat_luts, idx)
 
     f00 = gather(y0, x0)
     f01 = gather(y0, x1)
