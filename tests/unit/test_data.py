@@ -190,3 +190,18 @@ class TestEndToEndData:
         assert set(m["quality_issues"]) == {"extreme_dark", "low_contrast",
                                             "potential_artifacts"}
         assert (tmp_path / "q.json").exists()
+
+
+@pytest.mark.unit
+class TestPrepareImagesChunking:
+    def test_chunked_equals_unchunked(self):
+        import jax.numpy as jnp
+
+        from thyroid_tpu.data.pipeline import prepare_images
+
+        imgs, _ = generate_corpus_arrays(n_images=10, size=64)
+        raw = jnp.asarray(imgs.astype(np.float32))
+        whole = np.asarray(prepare_images(raw, 32, quality=True, chunk=16))
+        chunked = np.asarray(prepare_images(raw, 32, quality=True, chunk=4))
+        assert whole.shape == chunked.shape == (10, 32, 32, 1)
+        assert np.allclose(whole, chunked, atol=1e-5)
