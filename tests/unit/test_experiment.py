@@ -203,3 +203,17 @@ class TestExperimentPresets:
         exp = ExperimentManager(cfg).build_experiment()
         assert exp.distillation_config is not None
         assert cfg_get(exp.distillation_config, "teacher_model_name") == "densenet169"
+
+
+@pytest.mark.unit
+class TestAugmentationGroupWiring:
+    def test_augmentation_level_flows_to_dataset(self):
+        from thyroid_tpu.config import compose
+        from thyroid_tpu.experiment import ExperimentManager
+
+        cfg = compose(overrides=["augmentation=heavy", "dataset=synthetic"])
+        exp = ExperimentManager(cfg).build_experiment()
+        assert exp.dataset_config["augmentation_level"] == "heavy"
+        cfg = compose(overrides=["augmentation=no_aug", "dataset=synthetic"])
+        exp = ExperimentManager(cfg).build_experiment()
+        assert exp.dataset_config["apply_augmentations"] is False

@@ -67,6 +67,13 @@ class ExperimentManager:
         cfg.setdefault("name", cfg_get(cfg, "experiment_name", None)
                        or cfg_get(cfg_get(cfg, "model", {}), "name", "experiment"))
 
+        # the `augmentation` config group selects the ladder level
+        # (reference root default: configs/config.yaml augmentation=no_aug)
+        aug_level = cfg_get(cfg_get(cfg, "augmentation", {}) or {}, "level", None)
+        if aug_level is not None and "dataset" in cfg:
+            cfg["dataset"]["augmentation_level"] = aug_level
+            cfg["dataset"]["apply_augmentations"] = aug_level != "none"
+
         class_path = cfg_get(cfg, "experiment_class_path", None)
         if class_path:
             module_name, _, cls_name = str(class_path).rpartition(".")
