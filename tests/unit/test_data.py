@@ -205,3 +205,15 @@ class TestPrepareImagesChunking:
         chunked = np.asarray(prepare_images(raw, 32, quality=True, chunk=4))
         assert whole.shape == chunked.shape == (10, 32, 32, 1)
         assert np.allclose(whole, chunked, atol=1e-5)
+
+
+@pytest.mark.unit
+class TestK2SplitBalance:
+    def test_val_split_has_both_classes(self, tmp_path):
+        labels = np.array([0] * 40 + [1] * 40)
+        files = generate_kfold_splits(labels, 2, tmp_path, random_seed=42)
+        for f in files:
+            s = load_split_file(f)
+            for part in ("train", "val", "test"):
+                classes = set(labels[s[part]].tolist())
+                assert classes == {0, 1}, f"{f} {part} single-class"

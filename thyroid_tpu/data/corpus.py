@@ -107,11 +107,14 @@ def generate_kfold_splits(
             # k=2 degenerates under the rotation (empty train); split the
             # non-test fold 75/25 into train/val instead. (The reference's
             # k=2 smoke runs reuse pregenerated 7-fold files and never hit
-            # this — scripts/run_all_models_quick_test.py.)
-            other = fold_indices[(i + 1) % k]
+            # this — scripts/run_all_models_quick_test.py.) StratifiedKFold
+            # emits class-ordered indices, so shuffle before slicing or the
+            # val split would be single-class.
+            rng = np.random.RandomState(random_seed + i)
+            other = rng.permutation(fold_indices[(i + 1) % k])
             n_val = max(1, len(other) // 4)
-            val_idx = other[:n_val]
-            train_idx = other[n_val:]
+            val_idx = np.sort(other[:n_val])
+            train_idx = np.sort(other[n_val:])
         path = split_dir / f"{prefix}{i + 1}.json"
         with open(path, "w") as f:
             json.dump(
