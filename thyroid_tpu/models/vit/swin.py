@@ -96,6 +96,7 @@ class WindowAttention(nn.Module):
     contrast_adaptive: bool = False
     quality_guided: bool = False
     use_pallas: bool = False
+    softmax_dtype: Dtype = jnp.float32
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -133,8 +134,10 @@ class WindowAttention(nn.Module):
             return self._output_proj(out, deterministic)
 
         q = q * scale
+        # softmax_dtype=bf16 halves HBM traffic on the (BW,h,N,N) attention
+        # tensor — an inference fast path; training keeps f32 for stability.
         attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=self.softmax_dtype)
         attn = attn + bias_nnh.transpose(2, 0, 1)[None].astype(attn.dtype)
 
         if mask is not None:
@@ -187,6 +190,7 @@ class SwinBlock(nn.Module):
     contrast_adaptive: bool = False
     quality_guided: bool = False
     use_pallas: bool = False
+    softmax_dtype: Dtype = jnp.float32
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -213,6 +217,7 @@ class SwinBlock(nn.Module):
             contrast_adaptive=self.contrast_adaptive,
             quality_guided=self.quality_guided,
             use_pallas=self.use_pallas,
+            softmax_dtype=self.softmax_dtype,
             dtype=self.dtype, name="attn",
         )(windows, mask=mask, deterministic=deterministic, capture=capture)
 
@@ -278,6 +283,7 @@ class SwinStage(nn.Module):
     quality_guided: bool = False
     quality_aware_merge: bool = False
     use_pallas: bool = False
+    softmax_dtype: Dtype = jnp.float32
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -299,6 +305,7 @@ class SwinStage(nn.Module):
                 contrast_adaptive=self.contrast_adaptive,
                 quality_guided=self.quality_guided,
                 use_pallas=self.use_pallas,
+                softmax_dtype=self.softmax_dtype,
                 dtype=self.dtype, name=f"block_{i}",
             )(x, deterministic, capture)
         if capture:
@@ -332,6 +339,7 @@ class SwinTransformer(nn.Module):
     quality_guided: bool = False
     uncertainty_head: bool = False
     use_pallas_attention: bool = False
+    softmax_dtype: Dtype = jnp.float32
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -377,6 +385,7 @@ class SwinTransformer(nn.Module):
                 quality_guided=qg,
                 quality_aware_merge=self.medical_adaptations,
                 use_pallas=self.use_pallas_attention,
+                softmax_dtype=self.softmax_dtype,
                 remat=self.remat,
                 dtype=self.dtype,
                 name=f"stage_{i}",
@@ -439,6 +448,8 @@ def build_swin(cfg: Any) -> SwinTransformer:
         quality_guided=bool(cfg_get(cfg, "quality_guided", False)),
         uncertainty_head=bool(cfg_get(cfg, "uncertainty_head", False)),
         use_pallas_attention=bool(cfg_get(cfg, "use_pallas_attention", False)),
+        softmax_dtype=(jnp.bfloat16 if cfg_get(cfg, "attn_softmax_dtype", None)
+                       in ("bf16", "bfloat16") else jnp.float32),
         remat=bool(cfg_get(cfg, "use_checkpoint", False)),
         dtype=resolve_dtype(cfg),
     )

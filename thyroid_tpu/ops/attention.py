@@ -34,24 +34,24 @@ def _round_up(x: int, m: int) -> int:
 def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
                       *, scale: float, num_heads: int, n_tokens: int):
     """Block shapes: q/k/v/o (TW, H, Np, D); bias (H, Np, Np);
-    mask (TW, Np, Np) additive (0 / −1e9, already includes pad masking)."""
-    tw = q_ref.shape[0]
-    for w in range(tw):
-        for h in range(num_heads):
-            q = q_ref[w, h].astype(jnp.float32) * scale
-            k = k_ref[w, h].astype(jnp.float32)
-            v = v_ref[w, h].astype(jnp.float32)
-            scores = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            scores = scores + bias_ref[h].astype(jnp.float32)
-            scores = scores + mask_ref[w].astype(jnp.float32)
-            scores = scores - scores.max(axis=-1, keepdims=True)
-            e = jnp.exp(scores)
-            probs = e / e.sum(axis=-1, keepdims=True)
-            o_ref[w, h] = jnp.dot(
-                probs, v, preferred_element_type=jnp.float32
-            ).astype(o_ref.dtype)
+    mask (TW, Np, Np) additive (0 / −1e9, already includes pad masking).
+    Window-batched matmuls per head — the attention matrix never leaves
+    VMEM."""
+    for h in range(num_heads):
+        q = q_ref[:, h].astype(jnp.float32) * scale          # (TW, Np, D)
+        k = k_ref[:, h].astype(jnp.float32)
+        v = v_ref[:, h].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (TW, Np, Np)
+        scores = scores + bias_ref[h][None].astype(jnp.float32)
+        scores = scores + mask_ref[:].astype(jnp.float32)
+        scores = scores - scores.max(axis=-1, keepdims=True)
+        e = jnp.exp(scores)
+        probs = e / e.sum(axis=-1, keepdims=True)
+        o_ref[:, h] = jax.lax.dot_general(
+            probs, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def fused_window_attention(
@@ -78,12 +78,15 @@ def fused_window_attention(
     if scale is None:
         scale = d ** -0.5
     np_ = _round_up(n, 16)
-    dp = _round_up(d, 128)
-    # auto-size the window tile to VMEM: q,k,v,o blocks (bf16/f32) + the
-    # per-window mask must fit well under the ~16 MB scoped limit with
-    # double buffering.
-    bytes_per_window = (4 * h * np_ * dp * q.dtype.itemsize
-                        + np_ * np_ * 4)
+    # d stays UNPADDED in HBM (the VMEM tile pads lanes internally) — an
+    # explicit pad to 128 lanes would 4× the q/k/v/o HBM traffic at Swin's
+    # head_dim 32 and cost more than keeping the attention matrix in VMEM
+    # saves. Auto-size the window tile so blocks (+ f32 scores scratch) fit
+    # well under the ~16 MB scoped VMEM limit with double buffering.
+    dp = d
+    lane_d = _round_up(d, 128)
+    bytes_per_window = (4 * h * np_ * lane_d * q.dtype.itemsize
+                        + np_ * np_ * 4 * 2)
     budget = 4 * 1024 * 1024
     tw = min(window_tile, bw, max(1, budget // bytes_per_window))
     while bw % tw:
