@@ -5,9 +5,10 @@ from .mesh import (
     shard_batch,
     fsdp_param_sharding,
     local_device_count,
+    device_info,
 )
 
 __all__ = [
     "create_mesh", "batch_sharding", "replicated", "shard_batch",
-    "fsdp_param_sharding", "local_device_count",
+    "fsdp_param_sharding", "local_device_count", "device_info",
 ]

@@ -76,3 +76,16 @@ def fsdp_param_sharding(mesh: Mesh, model_axis: str, params) -> object:
 
 def local_device_count() -> int:
     return jax.local_device_count()
+
+
+def device_info() -> dict:
+    """Device summary table data (reference: src/utils/training.py:79-113)."""
+    devs = jax.devices()
+    return {
+        "platform": devs[0].platform,
+        "device_kind": getattr(devs[0], "device_kind", "unknown"),
+        "device_count": len(devs),
+        "local_device_count": jax.local_device_count(),
+        "process_index": jax.process_index(),
+        "default_backend": jax.default_backend(),
+    }

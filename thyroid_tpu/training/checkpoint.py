@@ -239,3 +239,14 @@ def _infer_model_config_from_path(path: str | Path) -> Dict[str, Any]:
         if names in stem:
             return {"name": names}
     raise ValueError(f"cannot infer teacher architecture from path {path}")
+
+
+def restore_ensemble(ensemble: Any, checkpoints: Sequence[str | Path]) -> Any:
+    """Load member variables into a CNNEnsemble shell (built by the registry)
+    from per-member checkpoints (reference flow:
+    src/models/ensemble/cnn_ensemble.py:264 create_ensemble_from_best_models)."""
+    if len(checkpoints) != len(ensemble.modules):
+        raise ValueError(
+            f"{len(ensemble.modules)} members but {len(checkpoints)} checkpoints")
+    ensemble.variables = [load_checkpoint(c)[0] for c in checkpoints]
+    return ensemble

@@ -134,6 +134,13 @@ class Trainer:
                     cfg_get(cfg_get(training_config, "loss", {}) or {},
                             "label_smoothing", 0.0)) or 0.0)
         opt = cfg_get(training_config, "optimizer_params", {}) or {}
+        if not opt and str(cfg_get(self.model_config, "architecture", "")) == "vit":
+            # ViT side-channel fallback (reference: lightning_modules.py:329-338
+            # loads configs/vit_optimizer_params.json when params are absent)
+            side = Path(__file__).resolve().parents[2] / "configs" / \
+                "vit_optimizer_params.json"
+            if side.exists():
+                opt = json.loads(side.read_text())
         sched = cfg_get(training_config, "scheduler_params", {}) or {}
         epochs = int(cfg_get(training_config, "epochs", self.cfg.max_epochs))
         self.epochs = min(epochs, self.cfg.max_epochs)
