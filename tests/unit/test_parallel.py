@@ -73,9 +73,11 @@ class TestDataParallelTraining:
                 "optimizer_params": {"lr": 1e-3},
                 "scheduler_params": None, "monitor_metric": "val_acc",
                 "monitor_mode": "max", "early_stopping_patience": 50}
+        # f32 pinned: this test asserts psum-equivalence of the sharded step;
+        # under bf16 the different reduction orders drift training trajectories
         trainer = Trainer(ModelRegistry.create_model(mcfg), mcfg, tcfg,
                           {"max_epochs": 2, "enable_checkpointing": False,
-                           "deterministic": True},
+                           "deterministic": True, "precision": "f32"},
                           steps_per_epoch=tr.steps_per_epoch(),
                           output_dir="/tmp/ptest", mesh=mesh)
         res = trainer.fit(tr, va)
