@@ -89,12 +89,22 @@ def roc_curve_points(probs1: np.ndarray, labels: np.ndarray,
 
 def evaluate_checkpoint(
     checkpoint_path: str | Path,
-    model_config: Any,
-    pipeline,
+    model_config: Any = None,
+    pipeline=None,
     tta: bool = False,
 ) -> Dict[str, Any]:
-    model = ModelRegistry.create_model(model_config)
+    """model_config=None rebuilds the model from the config stored in the
+    checkpoint's metadata (written by Trainer.fit) — the safe default: a bare
+    name would silently drop architecture flags (e.g. Swin medical
+    adaptations) the weights were trained with."""
     variables, meta = load_checkpoint(checkpoint_path)
+    if model_config is None:
+        model_config = meta.get("model_config")
+        if model_config is None:
+            raise ValueError(
+                f"checkpoint {checkpoint_path} has no stored model_config; "
+                "pass model_config explicitly")
+    model = ModelRegistry.create_model(model_config)
     probs, labels, _ = predict_probs(model, variables, pipeline, tta=tta)
     report = binary_report(probs, labels)
     report["checkpoint"] = str(checkpoint_path)

@@ -332,8 +332,10 @@ class Trainer:
                  if isinstance(v, float)})
             monitored = metrics.get(self.cfg.monitor_metric)
             if ckpt_mgr is not None and monitored is not None:
-                is_best = ckpt_mgr.step(self.state, metrics, epoch,
-                                        extra_ckpt_metadata)
+                mc = self.model_config.to_dict() if hasattr(
+                    self.model_config, "to_dict") else dict(self.model_config)
+                meta = {"model_config": mc, **(extra_ckpt_metadata or {})}
+                is_best = ckpt_mgr.step(self.state, metrics, epoch, meta)
                 if is_best:
                     bad_epochs = 0
                     best = monitored
