@@ -123,3 +123,17 @@ class TestGraftEntry:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         mod.dryrun_multichip(8)
+
+    def test_dryrun_multichip_self_provisions(self, monkeypatch):
+        """Driver-env contract: with too few visible devices (single-chip
+        platform), dryrun_multichip must re-exec itself into a child with a
+        virtual CPU mesh and still pass (VERDICT round-1 item #1)."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "graft_entry", "/root/repo/__graft_entry__.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        monkeypatch.setattr(jax, "devices", lambda: jax.local_devices()[:1])
+        monkeypatch.delenv("_THYROID_DRYRUN_CHILD", raising=False)
+        mod.dryrun_multichip(4)  # 1 visible < 4 → subprocess with 4 virtual devices
