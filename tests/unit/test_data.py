@@ -163,6 +163,40 @@ class TestDevicePipeline:
         batch = next(iter(pipe.epoch(jax.random.PRNGKey(0))))
         assert np.isfinite(np.asarray(batch.image)).all()
 
+    def test_rgb_repeat_branch(self):
+        """Pretrained-backbone branch: gray→RGB repeat with per-channel
+        (ImageNet) normalisation (reference: vit_transforms.py:381-392)."""
+        from thyroid_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+        imgs, labels = generate_corpus_arrays(n_images=8, size=64)
+        pipe = DevicePipeline(imgs, labels, batch_size=8, img_size=32,
+                              mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                              out_channels=3, train=False)
+        x = np.asarray(next(iter(pipe.epoch(jax.random.PRNGKey(0)))).image)
+        assert x.shape == (8, 32, 32, 3)
+        # undo per-channel standardization → all three channels equal again
+        undone = x * np.asarray(IMAGENET_STD) + np.asarray(IMAGENET_MEAN)
+        assert np.allclose(undone[..., 0], undone[..., 1], atol=1e-6)
+        assert np.allclose(undone[..., 0], undone[..., 2], atol=1e-6)
+
+    def test_vit_aug_params_plumbed(self):
+        """vit_aug_params reach vit_augment: disabling everything must make
+        the vit pipeline flips-only (deterministic given same key)."""
+        imgs, labels = generate_corpus_arrays(n_images=8, size=64)
+        common = dict(batch_size=8, img_size=32, train=True,
+                      augmentation_level="medium", augment_mode="vit")
+        off = DevicePipeline(imgs, labels,
+                             vit_aug_params={"use_randaugment": False,
+                                             "use_patch_quality": False},
+                             **common)
+        on = DevicePipeline(imgs, labels,
+                            vit_aug_params={"use_randaugment": True,
+                                            "use_patch_quality": True},
+                            **common)
+        a = np.asarray(next(iter(off.epoch(jax.random.PRNGKey(3)))).image)
+        b = np.asarray(next(iter(on.epoch(jax.random.PRNGKey(3)))).image)
+        assert not np.allclose(a, b)
+
 
 @pytest.mark.unit
 @pytest.mark.integration
@@ -178,6 +212,23 @@ class TestEndToEndData:
         assert set(loaders) == {"train", "val", "test"}
         batch = next(iter(loaders["train"].epoch(jax.random.PRNGKey(0))))
         assert batch.image.shape == (4, 32, 32, 1)
+
+    def test_create_data_loaders_imagenet_branch(self, temp_dataset_path, tmp_path):
+        """model in_channels=3 + single-channel dataset mean → ImageNet
+        mean/std and 3-channel batches."""
+        from thyroid_tpu.data.pipeline import IMAGENET_MEAN
+
+        cfg = {"data_path": str(temp_dataset_path),
+               "split_dir": str(tmp_path / "splits"),
+               "batch_size": 4, "img_size": 32, "random_seed": 42,
+               "val_split_ratio": 0.25, "test_split_ratio": 0.25,
+               "apply_augmentations": False, "mean": [0.5], "std": [0.5]}
+        loaders = create_data_loaders(
+            cfg, model_config={"name": "resnet18", "in_channels": 3})
+        pipe = loaders["train"]
+        assert pipe.mean == IMAGENET_MEAN and pipe.out_channels == 3
+        batch = next(iter(pipe.epoch(jax.random.PRNGKey(0))))
+        assert batch.image.shape == (4, 32, 32, 3)
 
     def test_quality_report_schema(self, temp_dataset_path, tmp_path):
         cfg = {"data_path": str(temp_dataset_path),

@@ -29,6 +29,11 @@ from ..ops.image import adaptive_normalize, resize_bilinear, standardize, to_uin
 from ..ops.quality import QualityParams, quality_preprocess
 from .dataset import CARSThyroidDataset
 
+# ImageNet statistics for the pretrained-backbone branch (gray→RGB repeat +
+# ImageNet normalisation — reference: src/data/vit_transforms.py:381-392).
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
 
 @partial(jax.jit, static_argnames=("img_size", "quality", "params", "chunk"))
 def prepare_images(
@@ -85,6 +90,8 @@ class DevicePipeline:
         augment_mode: str = "standard",  # standard | vit
         train: bool = False,
         sharding: Optional[jax.sharding.Sharding] = None,
+        out_channels: int = 1,
+        vit_aug_params: Optional[dict] = None,
     ):
         self.batch_size = int(batch_size)
         self.img_size = int(img_size)
@@ -93,6 +100,8 @@ class DevicePipeline:
         self.train = train
         self.augmentation_level = augmentation_level
         self.augment_mode = augment_mode
+        self.out_channels = int(out_channels)
+        self.vit_aug_params = dict(vit_aug_params or {})
         self.n = len(labels)
         self.labels = jnp.asarray(labels, dtype=jnp.int32)
         self.sharding = sharding
@@ -111,10 +120,14 @@ class DevicePipeline:
         x = jnp.take(self.cache, idx, axis=0)
         if augment and self.augmentation_level != "none":
             if self.augment_mode == "vit":
-                x = vit_augment(x, key)
+                x = vit_augment(x, key, **self.vit_aug_params)
             else:
                 x = train_augment(x, key, level=self.augmentation_level,
                                   img_size=self.img_size)
+        if self.out_channels == 3 and x.shape[-1] == 1:
+            # pretrained-backbone branch: grayscale → 3-channel repeat
+            # (reference: vit_transforms.py:381-384 Grayscale(num_output_channels=3))
+            x = jnp.repeat(x, 3, axis=-1)
         return standardize(x, self.mean, self.std)
 
     def steps_per_epoch(self) -> int:
@@ -135,7 +148,9 @@ class DevicePipeline:
             if len(sel) < bs:
                 pad = bs - len(sel)
                 if self.train:
-                    sel = np.concatenate([sel, order[:pad]])
+                    # cycle the epoch order — np.resize repeats it, so this
+                    # also covers pad > n (tiny split with a large batch)
+                    sel = np.concatenate([sel, np.resize(order, pad)])
                 else:
                     weight[len(sel):] = 0.0
                     sel = np.concatenate([sel, np.full(pad, sel[-1] if len(sel) else 0)])
@@ -164,27 +179,51 @@ def create_data_loaders(
     splits: tuple[str, ...] = ("train", "val", "test"),
     augment_mode: str = "standard",
     sharding: Optional[jax.sharding.Sharding] = None,
+    model_config: Any = None,
 ) -> dict[str, DevicePipeline]:
     """Build DevicePipelines per split — API parity with the reference's
-    create_data_loaders (reference: src/data/dataset.py:595-661)."""
+    create_data_loaders (reference: src/data/dataset.py:595-661).
+
+    When the model wants 3 input channels (pretrained ImageNet backbones),
+    grayscale images are repeated to RGB and normalised with ImageNet
+    statistics unless the dataset config pins 3-channel mean/std explicitly
+    (reference: src/data/vit_transforms.py:381-392)."""
     out: dict[str, DevicePipeline] = {}
+    level = _cfg_get(dataset_config, "augmentation_level", "medium")
+    if not _cfg_get(dataset_config, "apply_augmentations", True):
+        level = "none"
+    out_channels = int(_cfg_get(model_config, "in_channels", 1) or 1) \
+        if model_config is not None else 1
+    mean = tuple(np.atleast_1d(_cfg_get(dataset_config, "mean", (0.5,))))
+    std = tuple(np.atleast_1d(_cfg_get(dataset_config, "std", (0.5,))))
+    if out_channels == 3 and len(mean) == 1:
+        mean, std = IMAGENET_MEAN, IMAGENET_STD
+    # ViT augmentation flags (reference create_vit_transform args:
+    # vit_transforms.py:330-346); magnitude scales with the level ladder.
+    vit_aug_params = {
+        "use_randaugment": bool(_cfg_get(dataset_config, "use_randaugment", True)),
+        "use_patch_quality": bool(_cfg_get(dataset_config, "use_patch_quality", True)),
+        "randaugment_n": int(_cfg_get(dataset_config, "randaugment_n", 2)),
+        "randaugment_m": float(_cfg_get(
+            dataset_config, "randaugment_m",
+            {"light": 5.0, "medium": 9.0, "heavy": 14.0}.get(level, 9.0))),
+    }
     for split in splits:
         ds = CARSThyroidDataset(dataset_config, split=split)
         images = ds.load_images()
-        level = _cfg_get(dataset_config, "augmentation_level", "medium")
-        if not _cfg_get(dataset_config, "apply_augmentations", True):
-            level = "none"
         out[split] = DevicePipeline(
             images,
             ds.labels,
             batch_size=_cfg_get(dataset_config, "batch_size", 32),
             img_size=_cfg_get(dataset_config, "img_size", 224),
-            mean=_cfg_get(dataset_config, "mean", (0.5,)),
-            std=_cfg_get(dataset_config, "std", (0.5,)),
+            mean=mean,
+            std=std,
             quality_preprocessing=_cfg_get(dataset_config, "quality_preprocessing", False),
             augmentation_level=level if split == "train" else "none",
             augment_mode=augment_mode,
             train=(split == "train"),
             sharding=sharding,
+            out_channels=out_channels,
+            vit_aug_params=vit_aug_params,
         )
     return out

@@ -77,8 +77,12 @@ class AblationExperiment(BaseExperiment):
         dataset_cfg = dict(dataset_cfg)
         dataset_cfg["img_size"] = int(cfg_get(model_cfg, "img_size", None)
                                       or dataset_cfg.get("img_size", 224))
+        bs = cfg_get(training_cfg, "batch_size", None)
+        if bs:
+            dataset_cfg["batch_size"] = int(bs)
         pipelines = create_data_loaders(
-            dataset_cfg, augment_mode="vit" if arch == "vit" else "standard")
+            dataset_cfg, augment_mode="vit" if arch == "vit" else "standard",
+            model_config=model_cfg)
         trainer = Trainer(
             ModelRegistry.create_model(model_cfg), model_cfg, training_cfg,
             trainer_cfg, steps_per_epoch=pipelines["train"].steps_per_epoch(),

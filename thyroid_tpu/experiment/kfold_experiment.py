@@ -88,6 +88,11 @@ class KFoldExperiment(BaseExperiment):
         cfg["split_file"] = str(Path(split_dir) / f"{prefix}{fold}.json")
         cfg["use_kfold"] = True
         cfg["fold"] = fold
+        # training.batch_size takes precedence over the dataset default
+        # (reference: configs/training/base.yaml batch_size feeds the loaders)
+        bs = cfg_get(self.training_config, "batch_size", None)
+        if bs:
+            cfg["batch_size"] = int(bs)
         return cfg
 
     def _build_pipelines(self, fold: int) -> Dict[str, DevicePipeline]:
@@ -99,7 +104,8 @@ class KFoldExperiment(BaseExperiment):
         dcfg["img_size"] = img_size
         from ..data.pipeline import create_data_loaders
 
-        return create_data_loaders(dcfg, augment_mode=augment_mode)
+        return create_data_loaders(dcfg, augment_mode=augment_mode,
+                                   model_config=self.model_config)
 
     def run_fold(self, fold: int) -> Dict[str, Any]:
         t0 = time.time()

@@ -504,7 +504,7 @@ def train_augment(
     Normalisation and resize happen upstream in the data pipeline."""
     if level == "none":
         return x
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 9)
     x = random_hflip(x, keys[0], 0.5)
     x = random_vflip(x, keys[1], 0.5)
     x = random_rotation(x, keys[2], degrees=180.0 if level == "heavy" else 90.0)
@@ -523,28 +523,34 @@ def train_augment(
     if level == "heavy":
         x = random_patch_drop(x, keys[6], patch_size=32, max_patches=5, p=0.3)
         gate = _per_image_gate(keys[7], x.shape[0], 0.3)
-        x = jnp.where(gate, random_blur(x, keys[7], (0.1, 2.0)), x)
+        x = jnp.where(gate, random_blur(x, keys[8], (0.1, 2.0)), x)
     return jnp.clip(x, 0.0, 1.0)
 
 
-@partial(jax.jit, static_argnames=("use_randaugment", "use_patch_quality"))
+@partial(jax.jit, static_argnames=("use_randaugment", "use_patch_quality",
+                                   "randaugment_n", "randaugment_m",
+                                   "patch_quality_p"))
 def vit_augment(
     x: jnp.ndarray,
     key: jax.Array,
     use_randaugment: bool = True,
     use_patch_quality: bool = True,
+    randaugment_n: int = 2,
+    randaugment_m: float = 9.0,
+    patch_quality_p: float = 0.5,
 ) -> jnp.ndarray:
     """ViT training pipeline (reference: create_vit_transform —
-    src/data/vit_transforms.py:330-392): flips + RandAugment(2,9) +
-    quality-aware patch augmentation."""
-    keys = jax.random.split(key, 4)
+    src/data/vit_transforms.py:330-392): flips + RandAugment(n,m) +
+    quality-aware patch augmentation. Flags/magnitudes are plumbed from
+    the augmentation config by the data pipeline (vit_aug_params)."""
+    keys = jax.random.split(key, 5)
     x = random_hflip(x, keys[0], 0.5)
     x = random_vflip(x, keys[1], 0.5)
     if use_randaugment:
-        x = randaugment(x, keys[2], n=2, m=9.0)
+        x = randaugment(x, keys[2], n=randaugment_n, m=randaugment_m)
     if use_patch_quality:
-        gate = _per_image_gate(keys[3], x.shape[0], 0.5)
-        x = jnp.where(gate, quality_aware_patch_augment(x, keys[3]), x)
+        gate = _per_image_gate(keys[3], x.shape[0], patch_quality_p)
+        x = jnp.where(gate, quality_aware_patch_augment(x, keys[4]), x)
     return x
 
 
