@@ -103,6 +103,12 @@ class TrainingConfig(BaseModel):
     scheduler_params: Optional[SchedulerParams] = Field(default_factory=SchedulerParams)
     layer_decay: Optional[float] = None           # layer-wise lr decay (ViT)
     ema_decay: Optional[float] = None
+    # batch MixUp/CutMix (reference: vit_transforms.py:396-462)
+    mixup_alpha: float = 0.0
+    cutmix_alpha: float = 0.0
+    mixup_prob: float = 1.0
+
+    model_config = {"extra": "allow"}
 
     @field_validator("monitor_mode")
     @classmethod

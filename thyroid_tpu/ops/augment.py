@@ -488,6 +488,63 @@ def cutmix(x: jnp.ndarray, labels: jnp.ndarray, key: jax.Array, alpha: float = 1
     return mixed, labels, labels[index], lam_adj
 
 
+@partial(jax.jit, static_argnames=("mixup_alpha", "cutmix_alpha", "prob",
+                                   "switch_prob"))
+def mixup_cutmix(
+    x: jnp.ndarray,
+    labels: jnp.ndarray,
+    key: jax.Array,
+    mixup_alpha: float = 0.8,
+    cutmix_alpha: float = 1.0,
+    prob: float = 1.0,
+    switch_prob: float = 0.5,
+):
+    """Fused batch MixUp/CutMix for the training step (reference:
+    src/data/vit_transforms.py:396-462, which defines both but leaves them
+    for the training loop to apply). One shared permutation; a per-batch
+    Bernoulli picks CutMix vs MixUp when both alphas are active; `prob`
+    gates application entirely. Returns (mixed_x, labels_a, labels_b, lam).
+    Branchless (jnp.where) so it stays a single compiled program."""
+    b, h, w, _ = x.shape
+    k_perm, k_switch, k_lm, k_lc, k_cy, k_cx, k_apply = jax.random.split(key, 7)
+    index = jax.random.permutation(k_perm, b)
+    shuffled = x[index]
+
+    lam = jnp.float32(1.0)
+    mixed = x
+    if mixup_alpha > 0:
+        lam_m = jax.random.beta(k_lm, mixup_alpha, mixup_alpha)
+        mixed_m = lam_m * x + (1.0 - lam_m) * shuffled
+    if cutmix_alpha > 0:
+        lam_c0 = jax.random.beta(k_lc, cutmix_alpha, cutmix_alpha)
+        cut_rat = jnp.sqrt(1.0 - lam_c0)
+        cut_h = jnp.floor(h * cut_rat).astype(jnp.int32)
+        cut_w = jnp.floor(w * cut_rat).astype(jnp.int32)
+        cy = jax.random.randint(k_cy, (), 0, h)
+        cx = jax.random.randint(k_cx, (), 0, w)
+        y1, y2 = jnp.clip(cy - cut_h // 2, 0, h), jnp.clip(cy + cut_h // 2, 0, h)
+        x1, x2 = jnp.clip(cx - cut_w // 2, 0, w), jnp.clip(cx + cut_w // 2, 0, w)
+        yy = jnp.arange(h).reshape(1, h, 1, 1)
+        xx = jnp.arange(w).reshape(1, 1, w, 1)
+        in_box = (yy >= y1) & (yy < y2) & (xx >= x1) & (xx < x2)
+        mixed_c = jnp.where(in_box, shuffled, x)
+        # λ corrected to the realised box area (reference vit_transforms.py:455)
+        lam_c = 1.0 - ((x2 - x1) * (y2 - y1)).astype(jnp.float32) / (h * w)
+    if mixup_alpha > 0 and cutmix_alpha > 0:
+        use_cut = jax.random.bernoulli(k_switch, switch_prob)
+        mixed = jnp.where(use_cut, mixed_c, mixed_m)
+        lam = jnp.where(use_cut, lam_c, lam_m)
+    elif mixup_alpha > 0:
+        mixed, lam = mixed_m, lam_m
+    elif cutmix_alpha > 0:
+        mixed, lam = mixed_c, lam_c
+    if prob < 1.0:
+        apply = jax.random.bernoulli(k_apply, prob)
+        mixed = jnp.where(apply, mixed, x)
+        lam = jnp.where(apply, lam, 1.0)
+    return mixed, labels, labels[index], lam
+
+
 # ---------------------------------------------------------------------------
 # composed pipelines (reference: src/data/transforms.py:214-330)
 # ---------------------------------------------------------------------------

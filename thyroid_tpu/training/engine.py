@@ -26,10 +26,14 @@ from ..parallel.mesh import batch_sharding, create_mesh, replicated
 from ..utils.logging import get_logger
 from ..utils.observe import MetricLogger, StepTimer
 from .checkpoint import BestCheckpointManager
+from ..ops.augment import mixup_cutmix
 from .losses import (
-    cross_entropy, deit_dual_loss, distillation_loss, progressive_alpha,
+    cross_entropy, deit_dual_loss, distillation_loss, mixed_cross_entropy,
+    progressive_alpha,
 )
-from .metrics import MetricAccumulator
+from .metrics import (
+    finalize_metric_state, update_metric_state, zero_metric_state,
+)
 from .schedules import build_optimizer, build_schedule
 from .train_state import TrainState, create_train_state
 
@@ -133,6 +137,12 @@ class Trainer:
             cfg_get(training_config, "label_smoothing",
                     cfg_get(cfg_get(training_config, "loss", {}) or {},
                             "label_smoothing", 0.0)) or 0.0)
+        # Batch MixUp/CutMix (reference: vit_transforms.py:396-462) — applied
+        # inside the jitted step; ignored under distillation (the teacher
+        # targets follow the mixed images, but the class term would not).
+        self.mixup_alpha = float(cfg_get(training_config, "mixup_alpha", 0.0) or 0.0)
+        self.cutmix_alpha = float(cfg_get(training_config, "cutmix_alpha", 0.0) or 0.0)
+        self.mixup_prob = float(cfg_get(training_config, "mixup_prob", 1.0) or 1.0)
         opt = cfg_get(training_config, "optimizer_params", {}) or {}
         if not opt and str(cfg_get(self.model_config, "architecture", "")) == "vit":
             # ViT side-channel fallback (reference: lightning_modules.py:329-338
@@ -189,9 +199,15 @@ class Trainer:
         else:
             self.batch_sharding = None
 
+        self._aux_keys = (
+            ("class_loss", "distillation_loss", "teacher_agreement")
+            if self.loss_mode == "distillation" else ())
+        # Metric state rides the jitted steps as a donated carry so the epoch
+        # loop never syncs to host (round-1 bottleneck: ~100 ms dispatch RPC
+        # per float() over the remote link).
         self._train_step = jax.jit(self._train_step_impl,
-                                   donate_argnums=(0,))
-        self._eval_step = jax.jit(self._eval_step_impl)
+                                   donate_argnums=(0, 1))
+        self._eval_step = jax.jit(self._eval_step_impl, donate_argnums=(1,))
         self._global_step = 0
 
     # ------------------------------------------------------------------
@@ -210,8 +226,23 @@ class Trainer:
                                       rngs={"dropout": rng})
         return outputs, None
 
-    def _train_step_impl(self, state: TrainState, images, labels, weights,
-                         rng, alpha):
+    def _train_step_impl(self, state: TrainState, mstate, images, labels,
+                         weights, rng, alpha):
+        mix = (self.mixup_alpha > 0 or self.cutmix_alpha > 0) and \
+            self.loss_mode != "distillation"
+        if mix:
+            rng, mix_rng = jax.random.split(rng)
+            images, labels_a, labels_b, lam = mixup_cutmix(
+                images, labels, mix_rng,
+                mixup_alpha=self.mixup_alpha, cutmix_alpha=self.cutmix_alpha,
+                prob=self.mixup_prob)
+
+        def ce(lgts):
+            if mix:
+                return mixed_cross_entropy(lgts, labels_a, labels_b, lam,
+                                           self.label_smoothing, weights)
+            return cross_entropy(lgts, labels, self.label_smoothing, weights)
+
         teacher_logits = self.teacher_fn(images) if self.teacher_fn else None
 
         def loss_fn(params):
@@ -230,16 +261,14 @@ class Trainer:
                 )
                 logits = outputs[0] if isinstance(outputs, tuple) else outputs
             elif self.loss_mode == "deit" and isinstance(outputs, tuple):
-                loss = deit_dual_loss(outputs, labels, self.label_smoothing, weights)
+                loss = 0.5 * ce(outputs[0]) + 0.5 * ce(outputs[1])
                 logits = (outputs[0] + outputs[1]) / 2.0
             elif isinstance(outputs, tuple):  # inception aux head
                 main, aux_logits = outputs
-                loss = cross_entropy(main, labels, self.label_smoothing, weights) \
-                    + 0.4 * cross_entropy(aux_logits, labels, self.label_smoothing,
-                                          weights)
+                loss = ce(main) + 0.4 * ce(aux_logits)
                 logits = main
             else:
-                loss = cross_entropy(outputs, labels, self.label_smoothing, weights)
+                loss = ce(outputs)
                 logits = outputs
             return loss, (logits, new_bs, aux)
 
@@ -248,15 +277,18 @@ class Trainer:
         new_state = state.apply_gradients(grads, new_batch_stats=new_bs,
                                           ema_decay=self.ema_decay)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        metrics = {"loss": loss, **aux}
-        return new_state, probs, metrics
+        # accuracy vs the ORIGINAL labels (mixed labels only shape the loss)
+        new_mstate, score1 = update_metric_state(
+            mstate, probs, labels, weights, loss=loss, aux=aux)
+        return new_state, new_mstate, score1
 
-    def _eval_step_impl(self, variables, images, labels, weights):
+    def _eval_step_impl(self, variables, mstate, images, labels, weights):
         outputs = self.state.apply_fn(variables, images, train=False)
         if isinstance(outputs, tuple):
             outputs = outputs[0]
         loss = cross_entropy(outputs, labels, self.label_smoothing, weights)
-        return jax.nn.softmax(outputs.astype(jnp.float32), axis=-1), loss
+        probs = jax.nn.softmax(outputs.astype(jnp.float32), axis=-1)
+        return update_metric_state(mstate, probs, labels, weights, loss=loss)
 
     # ------------------------------------------------------------------
     def _alpha_for_epoch(self, epoch: int) -> float:
@@ -269,7 +301,13 @@ class Trainer:
         return float(cfg_get(dcfg, "alpha", 0.7))
 
     def train_epoch(self, pipeline, epoch: int, rng: jax.Array) -> Dict[str, float]:
-        acc = MetricAccumulator()
+        """One epoch with ZERO per-step host synchronisation: the metric
+        state is a donated device carry; scores/labels stay device-resident
+        and are read back once in finalize_metric_state."""
+        mstate = zero_metric_state(self._aux_keys)
+        scores: List = []
+        lbls: List = []
+        wts: List = []
         alpha = jnp.float32(self._alpha_for_epoch(epoch))
         limit = self.cfg.limit_train_batches
         max_batches = pipeline.steps_per_epoch() if limit >= 1.0 else \
@@ -278,22 +316,29 @@ class Trainer:
             if i >= max_batches or (0 < self.cfg.max_steps <= self._global_step):
                 break
             step_rng = jax.random.fold_in(rng, 10_000 + i)
-            self.state, probs, m = self._train_step(
-                self.state, batch.image, batch.label, batch.weight,
+            self.state, mstate, score1 = self._train_step(
+                self.state, mstate, batch.image, batch.label, batch.weight,
                 step_rng, alpha)
-            acc.update(probs, batch.label, batch.weight, loss=float(m["loss"]))
+            scores.append(score1)
+            lbls.append(batch.label)
+            wts.append(batch.weight)
             self._global_step += 1
-        return acc.compute(prefix="train_")
+        return finalize_metric_state(mstate, scores, lbls, wts, prefix="train_")
 
     def eval_epoch(self, pipeline, prefix: str = "val_",
                    use_ema: bool = False) -> Dict[str, float]:
-        acc = MetricAccumulator()
+        mstate = zero_metric_state()
+        scores: List = []
+        lbls: List = []
+        wts: List = []
         variables = self.state.variables(use_ema=use_ema)
         for batch in pipeline.epoch(jax.random.PRNGKey(0)):
-            probs, loss = self._eval_step(variables, batch.image, batch.label,
-                                          batch.weight)
-            acc.update(probs, batch.label, batch.weight, loss=float(loss))
-        return acc.compute(prefix=prefix)
+            mstate, score1 = self._eval_step(variables, mstate, batch.image,
+                                             batch.label, batch.weight)
+            scores.append(score1)
+            lbls.append(batch.label)
+            wts.append(batch.weight)
+        return finalize_metric_state(mstate, scores, lbls, wts, prefix=prefix)
 
     def fit(self, train_pipeline, val_pipeline=None,
             extra_ckpt_metadata: Optional[Dict[str, Any]] = None) -> FitResult:

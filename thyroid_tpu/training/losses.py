@@ -38,6 +38,21 @@ def cross_entropy(
     return (per_sample * w).sum() / jnp.maximum(w.sum(), 1e-6)
 
 
+def mixed_cross_entropy(
+    logits: jnp.ndarray,
+    labels_a: jnp.ndarray,
+    labels_b: jnp.ndarray,
+    lam: jnp.ndarray | float,
+    label_smoothing: float = 0.0,
+    weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """MixUp/CutMix objective: λ·CE(y_a) + (1−λ)·CE(y_b)
+    (reference: src/data/vit_transforms.py:396-462 — the mixed-label loss the
+    reference defines but never wires; here it is the training-path consumer)."""
+    return lam * cross_entropy(logits, labels_a, label_smoothing, weights) + \
+        (1.0 - lam) * cross_entropy(logits, labels_b, label_smoothing, weights)
+
+
 def soft_distillation(
     student_logits: jnp.ndarray,
     teacher_logits: jnp.ndarray,

@@ -111,6 +111,86 @@ def auroc(scores: np.ndarray, labels: np.ndarray,
     return float(u / (len(pos) * len(neg)))
 
 
+# ---------------------------------------------------------------------------
+# Device-resident metric state — for use INSIDE jitted train/eval steps.
+#
+# The round-1 engine forced a device→host round-trip every step
+# (float(loss) / np.asarray(score)); over a remote-dispatch link that
+# dominates training time. Instead the step threads this small pytree as a
+# donated carry, and the host reads everything back ONCE per epoch.
+# ---------------------------------------------------------------------------
+
+def zero_metric_state(aux_keys: tuple[str, ...] = ()) -> Dict[str, jnp.ndarray]:
+    state = {k: jnp.zeros((), jnp.float32)
+             for k in ("tp", "fp", "tn", "fn", "loss_sum", "w_sum")}
+    for k in aux_keys:
+        state[f"aux_{k}"] = jnp.zeros((), jnp.float32)
+    return state
+
+
+def update_metric_state(
+    mstate: Dict[str, jnp.ndarray],
+    probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+    loss: Optional[jnp.ndarray] = None,
+    aux: Optional[Dict[str, jnp.ndarray]] = None,
+) -> tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Pure batch update; returns (new state, P(class=1) scores). Loss and aux
+    scalars are accumulated weighted by the batch weight sum so the epoch
+    means match the reference's sample-weighted averages."""
+    score1 = probs[:, 1] if probs.ndim == 2 else probs
+    preds = (score1 >= 0.5).astype(jnp.int32)
+    w = jnp.ones_like(score1) if weights is None else weights.astype(jnp.float32)
+    s = confusion_stats(preds, labels, w)
+    w_sum = w.sum()
+    new = dict(mstate)
+    new["tp"] = mstate["tp"] + s.tp
+    new["fp"] = mstate["fp"] + s.fp
+    new["tn"] = mstate["tn"] + s.tn
+    new["fn"] = mstate["fn"] + s.fn
+    new["w_sum"] = mstate["w_sum"] + w_sum
+    if loss is not None:
+        new["loss_sum"] = mstate["loss_sum"] + loss.astype(jnp.float32) * w_sum
+    for k, v in (aux or {}).items():
+        key = f"aux_{k}"
+        if key in mstate:
+            new[key] = mstate[key] + v.astype(jnp.float32) * w_sum
+    return new, score1
+
+
+def finalize_metric_state(
+    mstate: Dict[str, jnp.ndarray],
+    scores: Optional[list] = None,
+    labels: Optional[list] = None,
+    weights: Optional[list] = None,
+    prefix: str = "",
+) -> Dict[str, float]:
+    """One host read-back at epoch end → the reference's full metric set."""
+    host = jax.device_get(mstate)
+    s = ConfusionStats(*(jnp.asarray(host[k]) for k in ("tp", "fp", "tn", "fn")))
+    out = {
+        "acc": float(accuracy(s)),
+        "f1": float(f1_score(s)),
+        "sensitivity": float(sensitivity(s)),
+        "specificity": float(specificity(s)),
+        "ppv": float(precision(s)),
+        "npv": float(npv(s)),
+    }
+    if scores:
+        sc, lb = jax.device_get((scores, labels))
+        sc, lb = np.concatenate(sc), np.concatenate(lb)
+        wt = np.concatenate(jax.device_get(weights)) if weights else None
+        out["auc"] = auroc(sc, lb, wt)
+    w_sum = float(host["w_sum"])
+    if w_sum > 0:
+        out["loss"] = float(host["loss_sum"]) / w_sum
+        for k, v in host.items():
+            if k.startswith("aux_"):
+                out[k[4:]] = float(v) / w_sum
+    return {f"{prefix}{k}": v for k, v in out.items()}
+
+
 class MetricAccumulator:
     """Streams batches; finalises the reference's full metric set."""
 
