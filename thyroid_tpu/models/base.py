@@ -32,12 +32,19 @@ def init_model(
 def create_and_init(
     config: Any, rng: jax.Array, train: bool = False
 ) -> Tuple[Any, Any]:
-    """Registry create + init → (module, variables)."""
+    """Registry create + init → (module, variables). Honors
+    `pretrained` / `pretrained_path` from the config by warm-starting from a
+    local torch checkpoint (reference: model YAMLs' pretrained flag;
+    all_models_full_kfold_experiment.py:100-131 forces it)."""
     model = ModelRegistry.create_model(config)
     img_size = cfg_get(config, "img_size", None)
     in_channels = cfg_get(config, "in_channels", 1)
     variables = init_model(model, rng, img_size=img_size,
                            in_channels=in_channels, train=train)
+    if cfg_get(config, "pretrained", False) or cfg_get(config, "pretrained_path", None):
+        from .import_torch import maybe_load_pretrained
+
+        variables = maybe_load_pretrained(config, variables)
     return model, variables
 
 

@@ -77,8 +77,12 @@ class MBConv(nn.Module):
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=self.dtype)(h)
             h = nn.silu(h)
+        # torch-symmetric k//2 padding (timm non-TF variants), not XLA SAME —
+        # SAME is asymmetric under stride 2, which breaks weight-import parity
+        kp = self.kernel // 2
         h = nn.Conv(expanded, (self.kernel, self.kernel),
-                    strides=(self.strides, self.strides), padding="SAME",
+                    strides=(self.strides, self.strides),
+                    padding=[(kp, kp), (kp, kp)],
                     feature_group_count=expanded, use_bias=False,
                     dtype=self.dtype)(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -107,7 +111,7 @@ class EfficientNet(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  capture: bool = False) -> jnp.ndarray:
         stem = round_filters(32, self.width_mult)
-        x = nn.Conv(stem, (3, 3), strides=(2, 2), padding="SAME",
+        x = nn.Conv(stem, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype, name="stem_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name="stem_bn")(x)

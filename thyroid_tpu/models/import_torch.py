@@ -201,6 +201,231 @@ def import_vit(state_dict: Mapping[str, Any], in_channels: int = 1,
     return {"params": params}
 
 
+# ---------------------------------------------------------------------------
+# Swin (timm naming: patch_embed.proj/norm, layers.I.blocks.J.{norm1,attn.*,
+# norm2,mlp.fc1/fc2}, layers.I.downsample.{reduction,norm}, norm, head)
+# Reference anchor: swin_transformer.py:697-775 load_pretrained_swin_from_timm.
+# ---------------------------------------------------------------------------
+
+def import_swin(state_dict: Mapping[str, Any], in_channels: int = 1,
+                num_classes: Optional[int] = 2) -> Dict[str, Any]:
+    """→ {"params": ...} matching models.vit.swin.SwinTransformer.
+
+    Relative-position bias tables transfer verbatim ((2w−1)², nH layout in
+    both); relative_position_index buffers are recomputed constants here and
+    are skipped. Medical-adaptation params (quality gates, contrast scales,
+    uncertainty head) have no timm source and keep their fresh init."""
+    params: Dict[str, Any] = {}
+
+    def ln(src: str, dst: Tuple[str, ...]) -> None:
+        _set(params, dst + ("scale",), _np(state_dict[f"{src}.weight"]))
+        _set(params, dst + ("bias",), _np(state_dict[f"{src}.bias"]))
+
+    _set(params, ("patch_embed", "kernel"),
+         conv_to_flax(state_dict["patch_embed.proj.weight"], in_channels))
+    _set(params, ("patch_embed", "bias"), _np(state_dict["patch_embed.proj.bias"]))
+    if "patch_embed.norm.weight" in state_dict:
+        ln("patch_embed.norm", ("patch_norm",))
+    if "absolute_pos_embed" in state_dict:
+        params["absolute_pos_embed"] = _np(state_dict["absolute_pos_embed"])
+
+    n_stages = 1 + max(int(k.split(".")[1]) for k in state_dict
+                       if k.startswith("layers."))
+    for i in range(n_stages):
+        blocks = {int(k.split(".")[3]) for k in state_dict
+                  if k.startswith(f"layers.{i}.blocks.")}
+        for j in sorted(blocks):
+            src = f"layers.{i}.blocks.{j}"
+            dst = (f"stage_{i}", f"block_{j}")
+            ln(f"{src}.norm1", dst + ("norm1",))
+            ln(f"{src}.norm2", dst + ("norm2",))
+            att = dst + ("attn",)
+            _set(params, att + ("relative_position_bias_table",),
+                 _np(state_dict[f"{src}.attn.relative_position_bias_table"]))
+            _set(params, att + ("qkv", "kernel"),
+                 linear_to_flax(state_dict[f"{src}.attn.qkv.weight"]))
+            if f"{src}.attn.qkv.bias" in state_dict:
+                _set(params, att + ("qkv", "bias"),
+                     _np(state_dict[f"{src}.attn.qkv.bias"]))
+            _set(params, att + ("proj", "kernel"),
+                 linear_to_flax(state_dict[f"{src}.attn.proj.weight"]))
+            _set(params, att + ("proj", "bias"),
+                 _np(state_dict[f"{src}.attn.proj.bias"]))
+            mlp = dst + ("mlp",)
+            _set(params, mlp + ("Dense_0", "kernel"),
+                 linear_to_flax(state_dict[f"{src}.mlp.fc1.weight"]))
+            _set(params, mlp + ("Dense_0", "bias"),
+                 _np(state_dict[f"{src}.mlp.fc1.bias"]))
+            _set(params, mlp + ("Dense_1", "kernel"),
+                 linear_to_flax(state_dict[f"{src}.mlp.fc2.weight"]))
+            _set(params, mlp + ("Dense_1", "bias"),
+                 _np(state_dict[f"{src}.mlp.fc2.bias"]))
+        if f"layers.{i}.downsample.reduction.weight" in state_dict:
+            ds = (f"stage_{i}", "downsample")
+            ln(f"layers.{i}.downsample.norm", ds + ("norm",))
+            _set(params, ds + ("reduction", "kernel"),
+                 linear_to_flax(state_dict[f"layers.{i}.downsample.reduction.weight"]))
+
+    ln("norm", ("norm",))
+    head_w = _np(state_dict.get("head.weight", np.zeros((0, 0))))
+    if head_w.size and (num_classes is None or head_w.shape[0] == num_classes):
+        _set(params, ("head", "kernel"), linear_to_flax(state_dict["head.weight"]))
+        _set(params, ("head", "bias"), _np(state_dict["head.bias"]))
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Generic order-based CNN importer (DenseNet / EfficientNet / Inception).
+#
+# Both torch's state_dict and a flax @nn.compact param tree preserve module
+# CREATION order, and these architectures build layers in forward order in
+# both frameworks — so conv/bn/linear slots align 1:1 as typed streams. This
+# replaces three hand-written per-family mappings and fails loudly on any
+# type or shape misalignment. (Reference source models are plain timm
+# wrappers: src/models/cnn/{densenet,efficientnet,inception}.py.)
+# ---------------------------------------------------------------------------
+
+def _get(tree: Dict, path: Tuple[str, ...]):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
+def _flax_slots(params: Dict, batch_stats: Dict) -> list:
+    """Typed (kind, path) slots in creation order."""
+    out = []
+
+    def walk(node, stats, path):
+        if not isinstance(node, dict):
+            return
+        keys = list(node.keys())
+        if "kernel" in keys and hasattr(node["kernel"], "ndim"):
+            nd = node["kernel"].ndim
+            if nd == 4:
+                out.append(("conv", path, "bias" in keys))
+                return
+            if nd == 2:
+                out.append(("dense", path, "bias" in keys))
+                return
+        if set(keys) >= {"scale", "bias"} and isinstance(stats, dict) \
+                and "mean" in stats:
+            out.append(("bn", path))
+            return
+        if set(keys) == {"scale", "bias"}:
+            out.append(("ln", path))
+            return
+        for k in keys:
+            walk(node[k], stats.get(k) if isinstance(stats, dict) else None,
+                 path + (k,))
+
+    walk(params, batch_stats or {}, ())
+    return out
+
+
+def _torch_slots(state_dict: Mapping[str, Any]) -> list:
+    """Typed (kind, arrays) slots in state_dict order."""
+    items = [(k, _np(v)) for k, v in state_dict.items()
+             if not k.endswith("num_batches_tracked")
+             and "relative_position_index" not in k]
+    out = []
+    i = 0
+    while i < len(items):
+        k, v = items[i]
+        if v.ndim == 4:
+            bias = None
+            if i + 1 < len(items) and items[i + 1][0].endswith(".bias") \
+                    and items[i + 1][1].ndim == 1 \
+                    and items[i + 1][1].shape[0] == v.shape[0]:
+                bias = items[i + 1][1]
+                i += 1
+            out.append(("conv", v, bias))
+        elif v.ndim == 2 and k.endswith(".weight"):
+            bias = None
+            if i + 1 < len(items) and items[i + 1][0].endswith(".bias"):
+                bias = items[i + 1][1]
+                i += 1
+            out.append(("dense", v, bias))
+        elif v.ndim == 1 and k.endswith(".weight"):
+            rest = [items[i + j][0].rsplit(".", 1)[-1]
+                    for j in range(1, 4) if i + j < len(items)]
+            if rest[:3] == ["bias", "running_mean", "running_var"]:
+                out.append(("bn", (v, items[i + 1][1], items[i + 2][1],
+                                   items[i + 3][1])))
+                i += 3
+            elif rest[:1] == ["bias"]:
+                out.append(("ln", (v, items[i + 1][1])))
+                i += 1
+            else:
+                raise ValueError(f"unrecognised 1-D weight at '{k}'")
+        else:
+            raise ValueError(f"unrecognised tensor '{k}' shape {v.shape}")
+        i += 1
+    return out
+
+
+def import_cnn_by_order(state_dict: Mapping[str, Any], variables: Dict[str, Any],
+                        in_channels: Optional[int] = 1,
+                        num_classes: Optional[int] = 2) -> Dict[str, Any]:
+    """Align torch tensors to a freshly-initialised flax tree by creation
+    order. Classifier heads whose out-dim mismatches num_classes are skipped
+    (fresh head, like the reference's strict=False warm starts)."""
+    import copy
+
+    params = copy.deepcopy(_plain(variables["params"]))
+    stats = copy.deepcopy(_plain(variables.get("batch_stats") or {}))
+    slots = _flax_slots(params, stats)
+    stream = _torch_slots(state_dict)
+    if len(slots) != len(stream):
+        raise ValueError(f"layer-count mismatch: flax has {len(slots)} typed "
+                         f"slots, torch checkpoint has {len(stream)}")
+    first_conv = True
+    for slot, item in zip(slots, stream):
+        if slot[0] != item[0]:
+            raise ValueError(f"slot type mismatch at {slot[1]}: flax {slot[0]} "
+                             f"vs torch {item[0]}")
+        kind, path = slot[0], slot[1]
+        if kind == "conv":
+            w = conv_to_flax(item[1], in_channels if first_conv else None)
+            first_conv = False
+            tgt = _get(params, path)
+            if tuple(tgt["kernel"].shape) != w.shape:
+                raise ValueError(f"conv shape mismatch at {path}: "
+                                 f"{w.shape} vs {tuple(tgt['kernel'].shape)}")
+            tgt["kernel"] = w
+            if item[2] is not None and slot[2]:
+                tgt["bias"] = item[2]
+        elif kind == "bn":
+            w, b, mean, var = item[1]
+            tgt = _get(params, path)
+            tgt["scale"], tgt["bias"] = w, b
+            st = _get(stats, path)
+            st["mean"], st["var"] = mean, var
+        elif kind == "ln":
+            w, b = item[1]
+            tgt = _get(params, path)
+            tgt["scale"], tgt["bias"] = w, b
+        elif kind == "dense":
+            w, b = item[1], item[2]
+            tgt = _get(params, path)
+            if tuple(tgt["kernel"].shape) != w.T.shape:
+                continue  # mismatched classifier head → keep fresh init
+            tgt["kernel"] = linear_to_flax(w)
+            if b is not None and slot[2]:
+                tgt["bias"] = b
+    out: Dict[str, Any] = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def _plain(tree) -> Dict:
+    """FrozenDict → nested plain dicts (leaves untouched)."""
+    if hasattr(tree, "items"):
+        return {k: _plain(v) for k, v in tree.items()}
+    return tree
+
+
 def merge_imported(variables: Dict[str, Any],
                    imported: Dict[str, Any]) -> Dict[str, Any]:
     """Overlay imported leaves onto freshly-initialised variables (leaves
@@ -228,6 +453,85 @@ def merge_imported(variables: Dict[str, Any],
         base = base if isinstance(base, dict) else jax.tree.map(lambda x: x, base)
         merged[coll] = overlay(dict(base), imported[coll])
     return merged
+
+
+def import_for_model(name: str, state_dict: Mapping[str, Any],
+                     variables: Dict[str, Any], in_channels: int = 1,
+                     num_classes: Optional[int] = 2,
+                     target_tokens: Optional[int] = None) -> Dict[str, Any]:
+    """Family dispatch: torch/timm state_dict → flax collections for the
+    registered model `name`."""
+    if name.startswith("resnet"):
+        return import_resnet(state_dict, in_channels, num_classes)
+    if name.startswith("swin"):
+        return import_swin(state_dict, in_channels, num_classes)
+    if name.startswith("deit"):
+        return import_vit(state_dict, in_channels, num_classes,
+                          target_tokens=target_tokens, distillation=True)
+    if name.startswith("vit"):
+        return import_vit(state_dict, in_channels, num_classes,
+                          target_tokens=target_tokens)
+    if name.startswith(("densenet", "efficientnet", "inception")):
+        return import_cnn_by_order(state_dict, variables, in_channels,
+                                   num_classes)
+    raise ValueError(f"no importer for model family '{name}'")
+
+
+def find_pretrained_file(name: str, pretrained_path: Optional[str] = None,
+                         search_dirs: Optional[list] = None) -> Optional[str]:
+    """Resolve a local torch checkpoint for `name`. The reference downloads
+    from timm (all_models_full_kfold_experiment.py:100-131 forces
+    pretrained=True); this environment has no egress, so warm starts come
+    from local files: explicit `pretrained_path`, else `{name}.{pth,pt,ckpt}`
+    under $THYROID_PRETRAINED_DIR or ./weights."""
+    import os
+    from pathlib import Path
+
+    if pretrained_path:
+        return pretrained_path if Path(pretrained_path).exists() else None
+    dirs = list(search_dirs or [])
+    if os.environ.get("THYROID_PRETRAINED_DIR"):
+        dirs.append(os.environ["THYROID_PRETRAINED_DIR"])
+    dirs.append("weights")
+    for d in dirs:
+        for ext in (".pth", ".pt", ".ckpt"):
+            p = Path(d) / f"{name}{ext}"
+            if p.exists():
+                return str(p)
+    return None
+
+
+def maybe_load_pretrained(config: Any, variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Honor `pretrained: true` / `pretrained_path` from a model config
+    (reference model YAMLs all carry `pretrained`; the all-models sweep
+    forces it — all_models_full_kfold_experiment.py:100-131). Returns
+    variables warm-started from the torch checkpoint, or unchanged (with a
+    warning) when pretrained was requested but no local file exists."""
+    from .registry import cfg_get
+    from ..utils.logging import get_logger
+
+    logger = get_logger(__name__)
+    path = cfg_get(config, "pretrained_path", None)
+    if not path and not cfg_get(config, "pretrained", False):
+        return variables
+    name = str(cfg_get(config, "name", ""))
+    found = find_pretrained_file(name, path)
+    if found is None:
+        logger.warning(
+            "pretrained requested for %s but no local checkpoint found "
+            "(set pretrained_path or $THYROID_PRETRAINED_DIR; this "
+            "environment cannot download timm weights) — training from "
+            "scratch", name)
+        return variables
+    state_dict = load_torch_checkpoint(found)
+    pe = variables.get("params", {}).get("pos_embed")
+    imported = import_for_model(
+        name, state_dict, variables,
+        in_channels=int(cfg_get(config, "in_channels", 1)),
+        num_classes=int(cfg_get(config, "num_classes", 2)),
+        target_tokens=pe.shape[1] if pe is not None else None)
+    logger.info("warm-started %s from %s", name, found)
+    return merge_imported(variables, imported)
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
