@@ -63,3 +63,69 @@ class TestFusedWindowAttention:
         a = np.asarray(m0.apply(v0, x, train=False))
         b = np.asarray(m1.apply(v0, x, train=False))
         assert np.abs(a - b).max() < 1e-5
+
+
+@pytest.mark.unit
+class TestFusedSwinAttention:
+    """Round-2 spatial kernel: window partition + head-packed W-MSA +
+    window reverse in one kernel (ops/attention.py fused_swin_attention)."""
+
+    def _case(self, B, H, W, C, heads, ws, shift, rows=None):
+        from thyroid_tpu.models.vit.swin import (
+            shift_attention_mask, window_partition, window_reverse)
+        from thyroid_tpu.ops.attention import fused_swin_attention
+
+        n, dh = ws * ws, C // heads
+        qkv = jnp.asarray(RS.randn(B, H, W, 3, C).astype(np.float32))
+        bias = jnp.asarray((RS.randn(heads, n, n) * 0.1).astype(np.float32))
+        mask = shift_attention_mask(H, W, ws, shift)
+        mask_j = jnp.asarray(mask) if mask is not None else None
+        got = fused_swin_attention(qkv, bias, mask_j, window_size=ws,
+                                   num_heads=heads, rows_per_step=rows,
+                                   interpret=True)
+
+        def part(t):
+            return window_partition(t, ws).reshape(
+                -1, n, heads, dh).transpose(0, 2, 1, 3)
+
+        ref = window_attention_reference(part(qkv[:, :, :, 0]),
+                                         part(qkv[:, :, :, 1]),
+                                         part(qkv[:, :, :, 2]), bias, mask_j)
+        ref = window_reverse(ref.transpose(0, 2, 1, 3).reshape(-1, n, C),
+                             ws, H, W)
+        assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 1e-4
+
+    def test_single_group(self):
+        self._case(2, 16, 16, 96, 3, 4, 0)
+
+    def test_multi_group_uneven(self):         # heads 6 → lane groups (4, 2)
+        self._case(2, 16, 16, 192, 6, 4, 2)
+
+    def test_shifted_windows(self):
+        self._case(2, 14, 14, 384, 12, 7, 3)
+
+    def test_batch_packed_single_window(self):  # res == ws → bt > 1 path
+        self._case(6, 7, 7, 768, 24, 7, 0)
+
+    def test_row_tiling(self):
+        self._case(2, 16, 16, 96, 3, 4, 0, rows=1)
+
+    def test_model_level_fused_equals_xla(self):
+        """swin_tiny outputs identical with use_pallas_attention on/off."""
+        from thyroid_tpu.models import ModelRegistry
+
+        params = {"patch_size": 4, "embed_dim": 32, "depths": [2, 2],
+                  "num_heads": [2, 4], "window_size": 4,
+                  "drop_path_rate": 0.0}
+        x = jnp.asarray(RS.rand(2, 32, 32, 1).astype(np.float32))
+        outs = {}
+        for up in (False, True):
+            m = ModelRegistry.create_model(
+                {"name": "swin_tiny", "img_size": 32, "in_channels": 1,
+                 "num_classes": 2, "use_pallas_attention": up,
+                 "params": params})
+            v = m.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(1)},
+                       jnp.zeros((1, 32, 32, 1)), train=False)
+            outs[up] = np.asarray(m.apply(v, x, train=False))
+        assert np.abs(outs[True] - outs[False]).max() < 1e-4

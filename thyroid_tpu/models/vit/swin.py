@@ -101,37 +101,43 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
-                 deterministic: bool = True, capture: bool = False) -> jnp.ndarray:
-        b_, n, c = x.shape
+                 deterministic: bool = True, capture: bool = False,
+                 spatial: bool = False) -> jnp.ndarray:
         ws = self.window_size
+        c = x.shape[-1]
         head_dim = c // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
 
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
-                       kernel_init=trunc_normal_init, name="qkv")(x)
+        qkv_dense = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                             kernel_init=trunc_normal_init, name="qkv")
+        table = self.param("relative_position_bias_table", trunc_normal_init,
+                           ((2 * ws - 1) ** 2, self.num_heads))
+        idx = relative_position_index(ws)
+        n = ws * ws
+        bias_nnh = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
+
+        if spatial:
+            # Fused Pallas path (round 2): x is the PRE-ROLLED spatial map
+            # (B, H, W, C); window partition + head-packed W-MSA + window
+            # reverse run in one VMEM-resident kernel (ops/attention.py
+            # fused_swin_attention — design notes there).
+            from ...ops.attention import fused_swin_attention
+
+            b, hh, ww_ = x.shape[:3]
+            qkv = qkv_dense(x).reshape(b, hh, ww_, 3, c)
+            out = fused_swin_attention(
+                qkv, bias_nnh.transpose(2, 0, 1).astype(jnp.float32),
+                mask=mask, window_size=ws, num_heads=self.num_heads,
+                scale=scale).astype(self.dtype)
+            return self._output_proj(out, deterministic)
+
+        b_, n, c = x.shape
+        qkv = qkv_dense(x)
         qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)
         q = q.transpose(0, 2, 1, 3)                             # (B_, h, n, hd)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
-
-        table = self.param("relative_position_bias_table", trunc_normal_init,
-                           ((2 * ws - 1) ** 2, self.num_heads))
-        idx = relative_position_index(ws)
-        bias_nnh = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
-
-        # Fused Pallas path: (QKᵀ·s + bias + mask → softmax → ·V) in one
-        # VMEM-resident kernel. The contrast-adaptive / capture variants need
-        # the materialised attention matrix and use the XLA path.
-        if self.use_pallas and not capture and not self.contrast_adaptive \
-                and (deterministic or self.attn_drop_rate == 0.0):
-            from ...ops.attention import fused_window_attention
-
-            out = fused_window_attention(
-                q, k, v, bias_nnh.transpose(2, 0, 1).astype(jnp.float32),
-                mask=mask, scale=scale)
-            out = out.transpose(0, 2, 1, 3).reshape(b_, n, c).astype(self.dtype)
-            return self._output_proj(out, deterministic)
 
         q = q * scale
         # softmax_dtype=bf16 halves HBM traffic on the (BW,h,N,N) attention
@@ -207,11 +213,10 @@ class SwinBlock(nn.Module):
         x = x.reshape(b, h, w, c)
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
-        windows = window_partition(x, ws)
 
         mask = shift_attention_mask(h, w, ws, shift)
         mask = jnp.asarray(mask) if mask is not None else None
-        windows = WindowAttention(
+        attn = WindowAttention(
             self.dim, ws, self.num_heads, self.qkv_bias, self.qk_scale,
             self.attn_drop_rate, self.drop_rate,
             contrast_adaptive=self.contrast_adaptive,
@@ -219,9 +224,18 @@ class SwinBlock(nn.Module):
             use_pallas=self.use_pallas,
             softmax_dtype=self.softmax_dtype,
             dtype=self.dtype, name="attn",
-        )(windows, mask=mask, deterministic=deterministic, capture=capture)
-
-        x = window_reverse(windows, ws, h, w)
+        )
+        # Fused spatial kernel: eval/serving only (pallas_call has no
+        # autodiff here) and not for variants needing the attention matrix.
+        fused = self.use_pallas and deterministic and not capture \
+            and not self.contrast_adaptive
+        if fused:
+            x = attn(x, mask=mask, deterministic=True, spatial=True)
+        else:
+            windows = window_partition(x, ws)
+            windows = attn(windows, mask=mask, deterministic=deterministic,
+                           capture=capture)
+            x = window_reverse(windows, ws, h, w)
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
         x = x.reshape(b, l, c)
@@ -426,6 +440,13 @@ def build_swin(cfg: Any) -> SwinTransformer:
     dim, depths, heads, dpr, img = SWIN_PARAMS.get(
         name, (96, (2, 2, 6, 2), (3, 6, 12, 24), 0.2, 224))
     medical = bool(cfg_get(cfg, "medical_adaptations", name == "swin_medical"))
+    use_pallas = cfg_get(cfg, "use_pallas_attention", None)
+    if use_pallas is None:
+        # the fused kernel beats XLA on TPU (docs/DESIGN.md round-2 numbers);
+        # elsewhere it would run interpreted, so default by platform
+        dev = jax.devices()[0]
+        use_pallas = "tpu" in \
+            f"{dev.platform} {getattr(dev, 'device_kind', '')}".lower()
     return SwinTransformer(
         img_size=int(cfg_get(cfg, "img_size", img)),
         patch_size=int(cfg_get(cfg, "patch_size", 4)),
@@ -447,7 +468,7 @@ def build_swin(cfg: Any) -> SwinTransformer:
         contrast_adaptive=bool(cfg_get(cfg, "contrast_adaptive", False)),
         quality_guided=bool(cfg_get(cfg, "quality_guided", False)),
         uncertainty_head=bool(cfg_get(cfg, "uncertainty_head", False)),
-        use_pallas_attention=bool(cfg_get(cfg, "use_pallas_attention", False)),
+        use_pallas_attention=bool(use_pallas),
         softmax_dtype=(jnp.bfloat16 if cfg_get(cfg, "attn_softmax_dtype", None)
                        in ("bf16", "bfloat16") else jnp.float32),
         remat=bool(cfg_get(cfg, "use_checkpoint", False)),

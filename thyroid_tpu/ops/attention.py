@@ -134,6 +134,193 @@ def fused_window_attention(
     return out[:, :, :n, :d]
 
 
+# ---------------------------------------------------------------------------
+# Fused spatial Swin attention (round 2) — window partition + W-MSA +
+# window reverse in ONE kernel, head-packed onto full 128-lane tiles.
+#
+# Motivation (docs/DESIGN.md round-1 finding): at head_dim 32 a per-head
+# layout wastes 3/4 of every VMEM lane tile, and the XLA path spends most of
+# its time on HBM round-trips for partition/reshape/moveaxis transposes.
+#
+# Head packing: P = 128//dh heads live side-by-side in one 128-lane group.
+#   scores  S = Q_packed @ K_maskedᵀ      K_masked = tile_P(K) ⊙ block_mask
+#     → S[:, i, p·N+j] = Σ_{lanes∈block p} Q[i]·K_p[j]  (block-diagonal
+#       contraction: each column block p is head p's score matrix; the full
+#       128-lane contraction keeps the MXU saturated instead of 32/128)
+#   softmax: one shared row max over all blocks is exact per block (softmax
+#     is shift-invariant per block as long as num & denom share the shift);
+#     per-block sums via matmul with a block-indicator, inverse expanded
+#     back with its transpose — no lane-splitting reshapes anywhere.
+#   output  O = P @ V_masked — the block mask routes each head's probs to
+#     its own lane block, so O lands already head-packed for the out-proj.
+#
+# The window partition/reverse are in-VMEM reshapes on sublane dims; the
+# kernel reads the (B, H, W, 3, C) qkv tensor directly (one row of windows
+# per grid step), so the XLA graph around it is LN → roll → one big qkv
+# matmul → kernel → roll⁻¹ → proj.
+# ---------------------------------------------------------------------------
+
+
+def _packed_groups(num_heads: int, head_dim: int):
+    """Split heads into lane groups of at most 128 lanes."""
+    per = max(1, 128 // head_dim)
+    groups = []
+    h0 = 0
+    while h0 < num_heads:
+        p = min(per, num_heads - h0)
+        groups.append((h0, p))
+        h0 += p
+    return groups
+
+
+def _swin_kernel(qkv_ref, mask_ref, *rest, ws: int, nww: int,
+                 rows: int, bt: int, num_heads: int, head_dim: int,
+                 scale: float, has_mask: bool):
+    groups = _packed_groups(num_heads, head_dim)
+    bias_refs, o_ref = rest[:len(groups)], rest[len(groups)]
+    n = ws * ws
+    c = num_heads * head_dim
+    x = qkv_ref[:]                                   # (BT, R·ws, W, 3, C)
+    # f32 in-VMEM compute: bf16 operands were MEASURED SLOWER here (2.5× on
+    # stage 1) — the (16,128) bf16 tiling of N=49 sublanes plus f32↔bf16
+    # relayouts around the softmax cost more than the MXU rate gain.
+    dt = jnp.float32
+    rw = bt * rows * nww
+    # window partition: (BT, R·ws, W, 3C) → (BT·RW, N, 3, C)
+    x = x.reshape(bt, rows, ws, nww, ws, 3, c).astype(dt)
+    x = x.transpose(0, 1, 3, 2, 4, 5, 6).reshape(rw, n, 3, c)
+    q = x[:, :, 0, :] * jnp.asarray(scale, dt)
+    k = x[:, :, 1, :]
+    v = x[:, :, 2, :]
+
+    outs = []
+    for (h0, p), bias_ref in zip(groups, bias_refs):
+        lo, width = h0 * head_dim, p * head_dim
+        qg = q[:, :, lo:lo + width]
+        kg = k[:, :, lo:lo + width]
+        vg = v[:, :, lo:lo + width]
+        # block-diagonal lane mask (P·N, width)
+        row_blk = jax.lax.broadcasted_iota(jnp.int32, (p * n, width), 0) // n
+        lane_blk = jax.lax.broadcasted_iota(jnp.int32, (p * n, width), 1) \
+            // head_dim
+        blk = (row_blk == lane_blk).astype(dt)
+        k_masked = jnp.concatenate([kg] * p, axis=1) * blk[None]
+        v_masked = jnp.concatenate([vg] * p, axis=1) * blk[None]
+
+        s = jax.lax.dot_general(                       # (RW, N, P·N) f32
+            qg, k_masked, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        s = s + bias_ref[:][None]                      # packed (N, P·N)
+        if has_mask:
+            m = mask_ref[0].astype(jnp.float32)        # (R·nWw, N, N)
+            if bt > 1:
+                m = jnp.concatenate([m] * bt, axis=0)
+            s = s + jnp.concatenate([m] * p, axis=2)
+        mrow = s.max(axis=-1, keepdims=True)           # shared shift — exact
+        e = jnp.exp(s - mrow)
+        # per-block softmax denominators: sum each N-column block, then
+        # broadcast back — lane ops only, no lane-splitting reshapes
+        denom_blocks = [
+            jnp.broadcast_to(
+                e[:, :, i * n:(i + 1) * n].sum(axis=-1, keepdims=True),
+                (rw, n, n))
+            for i in range(p)]
+        denom = jnp.concatenate(denom_blocks, axis=2) if p > 1 \
+            else denom_blocks[0]
+        probs = (e / denom).astype(dt)
+        outs.append(jax.lax.dot_general(               # (RW, N, width)
+            probs, v_masked, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+    o = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    # window reverse: (BT·RW, N, C) → (BT, R·ws, W, C)
+    o = o.reshape(bt, rows, nww, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    o_ref[:] = o.reshape(bt, rows * ws, nww * ws, c).astype(o_ref.dtype)
+
+
+def fused_swin_attention(
+    qkv: jnp.ndarray,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    *,
+    window_size: int,
+    num_heads: int,
+    scale: Optional[float] = None,
+    rows_per_step: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """qkv: (B, H, W, 3, C) spatial tensor (already LN'd, rolled if shifted,
+    and projected); bias: (h, N, N); mask: (nW, N, N) shift mask or None.
+    → (B, H, W, C) attention output, windows already reversed."""
+    if interpret is None:
+        dev = jax.devices()[0]
+        blob = f"{dev.platform} {getattr(dev, 'device_kind', '')}".lower()
+        interpret = "tpu" not in blob
+    b, hh, ww_, three, c = qkv.shape
+    ws = window_size
+    dh = c // num_heads
+    n = ws * ws
+    nwh, nww = hh // ws, ww_ // ws
+    if scale is None:
+        scale = dh ** -0.5
+
+    # fit qkv block + per-group scratch comfortably in VMEM
+    budget = 3 * 1024 * 1024
+    bytes_row = ws * ww_ * 3 * c * qkv.dtype.itemsize \
+        + nww * n * (max(1, 128 // dh)) * n * 4 * 3
+    if rows_per_step is None:
+        rows_per_step = max(1, min(nwh, budget // max(1, bytes_row)))
+        while nwh % rows_per_step:
+            rows_per_step -= 1
+    r = rows_per_step
+    # small late stages (few windows per image): pack multiple images per
+    # grid step so the packed matmuls see enough windows to fill the MXU
+    bt = 1
+    if r == nwh:
+        bt = max(1, min(b, budget // max(1, bytes_row * nwh)))
+        while b % bt:
+            bt -= 1
+    rw = r * nww
+
+    has_mask = mask is not None
+    if has_mask:
+        # (nW, N, N) → (nWh/R, RW, N, N) blocks by window row
+        m = mask.reshape(nwh // r, rw, n, n).astype(jnp.float32)
+    else:
+        m = jnp.zeros((1, 1, 1, 1), jnp.float32)
+
+    # per-group packed rel-pos bias (N, P·N) — lane-merging reshapes are
+    # unsupported inside Mosaic kernels, so pack here in XLA
+    groups = _packed_groups(num_heads, dh)
+    packed_biases = [
+        bias[h0:h0 + p].astype(jnp.float32).transpose(1, 0, 2).reshape(n, p * n)
+        for h0, p in groups]
+
+    kernel = functools.partial(
+        _swin_kernel, ws=ws, nww=nww, rows=r, bt=bt, num_heads=num_heads,
+        head_dim=dh, scale=scale, has_mask=has_mask)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bt, nwh // r),
+        in_specs=[
+            pl.BlockSpec((bt, r * ws, ww_, 3, c), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rw, n, n) if has_mask else (1, 1, 1, 1),
+                         (lambda i, j: (j, 0, 0, 0)) if has_mask
+                         else (lambda i, j: (0, 0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((n, p * n), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for _, p in groups
+        ],
+        out_specs=pl.BlockSpec((bt, r * ws, ww_, c),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hh, ww_, c), qkv.dtype),
+        interpret=interpret,
+    )(qkv, m, *packed_biases)
+
+
 def window_attention_reference(
     q: jnp.ndarray,
     k: jnp.ndarray,
