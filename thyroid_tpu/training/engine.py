@@ -45,6 +45,7 @@ class TrainerConfig:
     max_epochs: int = 100
     min_epochs: int = 1
     max_steps: int = -1
+    model_axis: Optional[str] = None   # mesh axis for FSDP param sharding
     precision: str = "bf16"
     gradient_clip_val: Optional[float] = 1.0
     gradient_clip_algorithm: str = "norm"
@@ -194,8 +195,18 @@ class Trainer:
             self.mesh = create_mesh(self.cfg.mesh_shape)
         if self.mesh is not None:
             self.batch_sharding = batch_sharding(self.mesh, self.cfg.data_axis)
-            repl = replicated(self.mesh)
-            self.state = jax.device_put(self.state, repl)
+            ma = self.cfg.model_axis
+            if ma and ma in self.mesh.shape and self.mesh.shape[ma] > 1:
+                # FSDP: shard every ≥2-D state leaf (params, adam moments)
+                # over the model axis; XLA inserts the all-gathers/reduce-
+                # scatters over ICI (SURVEY §2.8 optional model axis)
+                from ..parallel.mesh import fsdp_param_sharding
+
+                shardings = fsdp_param_sharding(self.mesh, ma, self.state)
+                self.state = jax.tree.map(
+                    lambda x, s: jax.device_put(x, s), self.state, shardings)
+            else:
+                self.state = jax.device_put(self.state, replicated(self.mesh))
         else:
             self.batch_sharding = None
 
