@@ -157,3 +157,98 @@ class TestCharts:
         out = tmp_path / "samples.png"
         visualize_samples(imgs, labels, n=8, output_path=out)
         assert out.exists()
+
+
+@pytest.mark.unit
+class TestRound2Viz:
+    """Round-2 viz depth (VERDICT items: aug grids, class distribution,
+    dataset orchestrator, raw-vs-processed figures, image logging)."""
+
+    def _imgs(self, n=8, size=32):
+        rs = np.random.RandomState(0)
+        imgs = (rs.rand(n, size, size, 1) * 60000).astype(np.float32)
+        labels = np.arange(n) % 2
+        return imgs, labels
+
+    def test_augmentation_comparison_grid(self, tmp_path):
+        from thyroid_tpu.analysis.charts import create_augmentation_comparison_grid
+
+        imgs, labels = self._imgs()
+        p = tmp_path / "grid.png"
+        create_augmentation_comparison_grid(imgs / 65535.0, labels,
+                                            n_originals=2, n_augmentations=2,
+                                            output_path=p)
+        assert p.exists() and p.stat().st_size > 1000
+
+    def test_plot_class_distribution(self, tmp_path):
+        from thyroid_tpu.analysis.charts import plot_class_distribution
+
+        p = tmp_path / "cls.png"
+        plot_class_distribution(np.array([0, 0, 1, 1, 1]), p)
+        assert p.exists()
+
+    def test_visualize_dataset_orchestrator(self, temp_dataset_path, tmp_path):
+        from pathlib import Path
+
+        from thyroid_tpu.analysis.charts import visualize_dataset
+
+        cfg = {"data_path": str(temp_dataset_path),
+               "split_dir": str(tmp_path / "splits"),
+               "val_split_ratio": 0.25, "test_split_ratio": 0.25,
+               "random_seed": 42}
+        written = visualize_dataset(cfg, tmp_path / "figs",
+                                    splits=("train", "val"))
+        assert len(written["train"]) == 5   # stats/samples/cls/diversity/aug
+        assert all(Path(f).exists() for f in written["train"])
+
+    def test_sample_figures(self, tmp_path):
+        from thyroid_tpu.analysis.figures import (
+            create_feature_comparison, create_intensity_distribution_plot,
+            create_preprocessing_comparison, create_sample_grid)
+
+        imgs, labels = self._imgs()
+        processed = imgs[::-1]
+        for name, call in (
+            ("grid", lambda p: create_sample_grid(imgs, processed, labels,
+                                                  n_samples=4, output_path=p)),
+            ("feat", lambda p: create_feature_comparison(imgs, processed, p)),
+            ("inten", lambda p: create_intensity_distribution_plot(
+                imgs, processed, labels, p)),
+            ("stages", lambda p: create_preprocessing_comparison(imgs[0], p)),
+        ):
+            p = tmp_path / f"{name}.png"
+            call(p)
+            assert p.exists() and p.stat().st_size > 1000, name
+
+    def test_metric_logger_log_image(self, tmp_path):
+        from thyroid_tpu.utils.observe import MetricLogger
+
+        ml = MetricLogger(tmp_path, use_tensorboard=False)
+        ml.log_image("attention", np.random.rand(16, 16), step=3)
+        ml.close()
+        assert (tmp_path / "images" / "attention_00003.png").exists()
+
+    def test_attention_logging_during_fit(self, tmp_path):
+        from thyroid_tpu.data import DevicePipeline, generate_corpus_arrays
+        from thyroid_tpu.models import ModelRegistry
+        from thyroid_tpu.training import Trainer
+
+        imgs, labels = generate_corpus_arrays(n_images=8, size=64)
+        tr = DevicePipeline(imgs, labels, batch_size=8, img_size=32,
+                            train=True, augmentation_level="none")
+        va = DevicePipeline(imgs, labels, batch_size=8, img_size=32,
+                            train=False)
+        mcfg = {"name": "vit_tiny", "img_size": 32, "in_channels": 1,
+                "num_classes": 2,
+                "params": {"embed_dim": 32, "depth": 1, "num_heads": 2,
+                           "patch_size": 8, "drop_path_rate": 0.0}}
+        tcfg = {"epochs": 1, "batch_size": 8,
+                "optimizer_params": {"lr": 1e-3}, "scheduler_params": None,
+                "monitor_metric": "val_acc", "monitor_mode": "max",
+                "early_stopping_patience": 5}
+        t = Trainer(ModelRegistry.create_model(mcfg), mcfg, tcfg,
+                    {"max_epochs": 1, "enable_checkpointing": False,
+                     "log_attention_every_n_epochs": 1},
+                    steps_per_epoch=1, output_dir=str(tmp_path))
+        t.fit(tr, va)
+        assert list((tmp_path / "logs" / "images").glob("attention_maps_*.png"))

@@ -199,6 +199,122 @@ def visualize_augmentations(image: np.ndarray, augmented: Dict[str, np.ndarray],
     return fig
 
 
+def create_augmentation_comparison_grid(
+    images: np.ndarray,
+    labels: np.ndarray,
+    key=None,
+    n_originals: int = 3,
+    n_augmentations: int = 4,
+    level: str = "medium",
+    output_path: Optional[str | Path] = None,
+):
+    """Originals (rows) × repeated augmentations (columns) grid
+    (reference: visualize.py:263-318)."""
+    import jax
+    import jax.numpy as jnp
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..ops.augment import train_augment
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    sel = np.linspace(0, len(images) - 1, n_originals).astype(int)
+    fig, axes = plt.subplots(n_originals, n_augmentations + 1,
+                             figsize=(3 * (n_augmentations + 1),
+                                      3 * n_originals))
+    axes = np.atleast_2d(axes)
+    fig.suptitle("Original vs Augmented Images", fontsize=14)
+    batch = jnp.asarray(images[sel].astype(np.float32))
+    if batch.ndim == 3:
+        batch = batch[..., None]
+    if batch.max() > 1.5:
+        batch = batch / float(batch.max())
+    for row, i in enumerate(sel):
+        axes[row, 0].imshow(np.asarray(batch[row]).squeeze(), cmap="gray")
+        axes[row, 0].set_title("Original" if row == 0 else "")
+        name = "Normal" if labels[i] == 0 else "Cancer"
+        axes[row, 0].set_ylabel(name,
+                                color="green" if labels[i] == 0 else "red")
+        axes[row, 0].axis("off")
+    for col in range(1, n_augmentations + 1):
+        aug = train_augment(batch, jax.random.fold_in(key, col), level=level)
+        for row in range(n_originals):
+            axes[row, col].imshow(np.asarray(aug[row]).squeeze(), cmap="gray")
+            if row == 0:
+                axes[row, col].set_title(f"Aug {col}")
+            axes[row, col].axis("off")
+    fig.tight_layout()
+    if output_path:
+        fig.savefig(output_path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        return None
+    return fig
+
+
+def plot_class_distribution(labels: np.ndarray,
+                            output_path: Optional[str | Path] = None):
+    """Standalone class-balance bar + pie (reference: visualize.py:320-364)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    counts = [(labels == 0).sum(), (labels == 1).sum()]
+    fig, axes = plt.subplots(1, 2, figsize=(9, 4))
+    axes[0].bar(["normal", "cancerous"], counts, color=["green", "red"])
+    axes[0].set_ylabel("images")
+    for i, c in enumerate(counts):
+        axes[0].text(i, c, str(int(c)), ha="center", va="bottom")
+    axes[1].pie(counts, labels=["normal", "cancerous"], autopct="%1.1f%%",
+                colors=["lightgreen", "lightcoral"])
+    fig.suptitle("Class distribution")
+    fig.tight_layout()
+    if output_path:
+        fig.savefig(output_path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        return None
+    return fig
+
+
+def visualize_dataset(dataset_config, output_dir: str | Path,
+                      splits=("train", "val", "test")) -> Dict[str, list]:
+    """Run the full figure set per split (reference: visualize.py:366-448):
+    intensity statistics, sample grid, augmentation grid (train only),
+    batch diversity, class distribution. Returns {split: [figure paths]}."""
+    import jax
+
+    from ..data.dataset import CARSThyroidDataset
+
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    written: Dict[str, list] = {}
+    for split in splits:
+        ds = CARSThyroidDataset(dataset_config, split=split)
+        images = ds.load_images().astype(np.float32) / 65535.0
+        labels = np.asarray(ds.labels)
+        paths = []
+        for name, fn in (
+            ("stats", lambda p: visualize_image_statistics(images, labels, p)),
+            ("samples", lambda p: visualize_samples(images, labels,
+                                                    output_path=p)),
+            ("class_distribution", lambda p: plot_class_distribution(labels, p)),
+            ("batch_diversity", lambda p: visualize_batch_diversity(
+                images[:16], p)),
+        ):
+            p = out / f"{split}_{name}.png"
+            fn(p)
+            paths.append(str(p))
+        if split == "train":
+            p = out / "train_augmentation_grid.png"
+            create_augmentation_comparison_grid(
+                images, labels, jax.random.PRNGKey(0), output_path=p)
+            paths.append(str(p))
+        written[split] = paths
+    return written
+
+
 def visualize_batch_diversity(batch: np.ndarray,
                               output_path: Optional[str | Path] = None):
     """Per-batch intensity spread + sample grid (reference:

@@ -61,6 +61,7 @@ class TrainerConfig:
     monitor_metric: str = "val_acc"
     monitor_mode: str = "max"
     early_stopping_patience: Optional[int] = 10
+    log_attention_every_n_epochs: int = 0   # >0: log attention-map images
     save_top_k: int = 3
     save_last: bool = True
     seed: int = 42
@@ -375,6 +376,9 @@ class Trainer:
             if val_pipeline is not None and \
                     (epoch + 1) % self.cfg.check_val_every_n_epoch == 0:
                 metrics.update(self.eval_epoch(val_pipeline, "val_"))
+            n_att = self.cfg.log_attention_every_n_epochs
+            if n_att and val_pipeline is not None and (epoch + 1) % n_att == 0:
+                self._log_attention_maps(metric_logger, val_pipeline, epoch)
             metrics["epoch"] = epoch
             metrics["lr"] = float(self.schedule(self._global_step))
             metrics["time_s"] = time.time() - t0
@@ -422,6 +426,47 @@ class Trainer:
             history=history,
             stopped_epoch=stopped,
         )
+
+    def _log_attention_maps(self, metric_logger, val_pipeline,
+                            epoch: int) -> None:
+        """Attention-map image logging during training (reference: wandb
+        logging in ThyroidViTModule — lightning_modules.py:661-706). Uses the
+        models' capture path; silently skips models without attention."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            from ..analysis.attention import (
+                cls_attention_heatmap, collect_attention_maps)
+
+            batch = next(iter(val_pipeline.epoch(jax.random.PRNGKey(0))))
+            images = batch.image[:4]
+            variables = self.state.variables()
+            maps = collect_attention_maps(self.model, variables, images)
+            # token attention only (ViT/DeiT, like the reference's ViT
+            # module); Swin window attention has a B·nW leading dim
+            if not maps or maps[-1].shape[0] != len(images):
+                return
+            has_cls = str(cfg_get(self.model_config, "name", "")).startswith(
+                ("vit", "deit"))
+            fig, axes = plt.subplots(2, len(images),
+                                     figsize=(2.6 * len(images), 5.2))
+            axes = np.atleast_2d(axes)
+            for i in range(len(images)):
+                img = np.asarray(images[i]).squeeze()
+                axes[0, i].imshow(img, cmap="gray")
+                axes[0, i].set_title(f"label {int(batch.label[i])}",
+                                     fontsize=9)
+                hm = cls_attention_heatmap(maps[-1][i:i + 1], has_cls=has_cls)
+                axes[1, i].imshow(hm, cmap="inferno")
+                for r in (0, 1):
+                    axes[r, i].axis("off")
+            fig.suptitle(f"attention maps — epoch {epoch}")
+            metric_logger.log_image("attention_maps", fig, step=epoch)
+        except Exception as e:  # non-attention models, headless failures
+            logger.debug("attention-map logging skipped: %s", e)
 
     def save_state(self, path: str | Path) -> Path:
         """Full training state (params+BN+opt_state+step) for exact resume."""

@@ -59,6 +59,38 @@ class MetricLogger:
         if self._wandb is not None:  # pragma: no cover
             self._wandb.log(record, step=step)
 
+    def log_image(self, tag: str, image, step: int) -> None:
+        """Log a figure or (H, W[, C]) array as an image (reference: wandb
+        attention-map logging, lightning_modules.py:661-706). Always writes a
+        PNG under log_dir/images/; mirrors to TB/wandb when active."""
+        import numpy as np
+
+        img_dir = self.log_dir / "images"
+        img_dir.mkdir(exist_ok=True)
+        path = img_dir / f"{tag.replace('/', '_')}_{step:05d}.png"
+        if hasattr(image, "savefig"):                      # matplotlib figure
+            image.savefig(path, dpi=110, bbox_inches="tight")
+            import matplotlib.pyplot as plt
+
+            plt.close(image)
+        else:
+            arr = np.asarray(image)
+            arr = (arr - arr.min()) / max(float(arr.max() - arr.min()), 1e-9)
+            import cv2
+
+            cv2.imwrite(str(path), (arr * 255).astype(np.uint8))
+        if self._tb is not None:
+            import cv2
+
+            bgr = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+            if bgr is not None:
+                rgb = bgr[..., ::-1] if bgr.ndim == 3 else bgr[..., None]
+                self._tb.add_image(tag, rgb, step, dataformats="HWC")
+        if self._wandb is not None:  # pragma: no cover
+            import wandb
+
+            self._wandb.log({tag: wandb.Image(str(path))}, step=step)
+
     def close(self) -> None:
         self._jsonl.close()
         if self._tb is not None:
