@@ -242,6 +242,50 @@ class TestTrainerFit:
         assert res.history[-1]["train_loss"] < res.history[0]["train_loss"] + 0.2
         assert (tmp_path / "history.json").exists()
 
+    def test_scan_epoch_matches_python_loop(self, tmp_path):
+        """The epoch-level lax.scan path reproduces the python step loop:
+        same key folding, same wraparound/pad indexing, same metric sums.
+
+        Strict comparison at lr=0 (identical params all epoch → any metric
+        difference means the two paths saw different data/keys — the
+        semantic property under test). With updates on, the one-program
+        epoch legitimately fuses/reassociates f32 reductions differently
+        than per-step programs and BN training dynamics amplify that, so
+        only a loose sanity band applies there."""
+        tr, va = _make_pipelines()
+        mcfg = {"name": "resnet18", "img_size": 32, "in_channels": 1,
+                "num_classes": 2}
+
+        def run(scan, lr):
+            tcfg = {"epochs": 1, "batch_size": 8,
+                    "optimizer_params": {"lr": lr},
+                    "scheduler_params": {"name": "cosine", "warmup_epochs": 0},
+                    "monitor_metric": "val_acc", "monitor_mode": "max",
+                    "early_stopping_patience": 50}
+            trainer = Trainer(
+                ModelRegistry.create_model(mcfg), mcfg, tcfg,
+                {"max_epochs": 1, "enable_checkpointing": False,
+                 "scan_epoch": scan, "precision": "f32"},
+                steps_per_epoch=tr.steps_per_epoch(),
+                output_dir=str(tmp_path / f"scan_{scan}"))
+            m = trainer.train_epoch(tr, 0, jax.random.PRNGKey(7))
+            m.update(trainer.eval_epoch(va, "val_"))
+            return m
+
+        m_scan = run(True, 0.0)
+        m_py = run(False, 0.0)
+        for k in ("train_loss", "train_acc", "train_auc", "val_loss",
+                  "val_acc", "val_auc"):
+            assert m_scan[k] == pytest.approx(m_py[k], abs=1e-5), (
+                k, m_scan[k], m_py[k])
+
+        m_scan = run(True, 1e-3)
+        m_py = run(False, 1e-3)
+        assert m_scan["train_loss"] == pytest.approx(m_py["train_loss"],
+                                                     abs=0.05)
+        assert m_scan["train_acc"] == pytest.approx(m_py["train_acc"],
+                                                    abs=0.15)
+
     def test_checkpointing_and_test_restore(self, tmp_path):
         tr, va = _make_pipelines()
         mcfg = {"name": "resnet18", "img_size": 32, "in_channels": 1,

@@ -51,6 +51,7 @@ class TrainerConfig:
     gradient_clip_algorithm: str = "norm"
     accumulate_grad_batches: int = 1
     log_every_n_steps: int = 50
+    scan_epoch: bool = True     # lax.scan the whole epoch (one dispatch)
     check_val_every_n_epoch: int = 1
     limit_train_batches: float = 1.0
     limit_val_batches: float = 1.0
@@ -220,6 +221,9 @@ class Trainer:
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_step_impl, donate_argnums=(1,))
+        # epoch-level lax.scan programs, keyed by (kind, pipeline, n_steps);
+        # the pipeline ref is kept in the value so id() can't be recycled
+        self._scan_cache: Dict[tuple, tuple] = {}
         self._global_step = 0
 
     # ------------------------------------------------------------------
@@ -312,10 +316,88 @@ class Trainer:
                                      float(cfg_get(dcfg, "alpha", 0.7)))
         return float(cfg_get(dcfg, "alpha", 0.7))
 
+    # -- epoch-level lax.scan (round 2) ---------------------------------
+    # One dispatch per EPOCH instead of one per step: permutation, batch
+    # gather, augmentation, the train step, and metric accumulation all run
+    # inside a single jitted scan over the HBM-resident split. Key folding
+    # and wraparound padding reproduce DevicePipeline.epoch + the python
+    # step loop bit-for-bit, so scan_epoch=False is a pure fallback.
+    def _scan_train_fn(self, pipeline, n_steps: int):
+        cache_key = ("train", id(pipeline), n_steps)
+        hit = self._scan_cache.get(cache_key)
+        if hit is not None:
+            return hit[1]
+        bs, n = pipeline.batch_size, pipeline.n
+        shard = self.batch_sharding
+
+        def epoch_fn(state, mstate, key, alpha):
+            perm_key, aug_key = jax.random.split(key)
+            order = jax.random.permutation(perm_key, n)
+            idx = jnp.take(order, jnp.arange(n_steps * bs) % n,
+                           axis=0).reshape(n_steps, bs)
+
+            def body(carry, xs):
+                state, mstate = carry
+                i, idx_b = xs
+                img = pipeline._make_batch(
+                    idx_b, jax.random.fold_in(aug_key, i), augment=True)
+                lbl = jnp.take(pipeline.labels, idx_b, axis=0)
+                w = jnp.ones((bs,), jnp.float32)
+                if shard is not None:
+                    img = jax.lax.with_sharding_constraint(img, shard)
+                    lbl = jax.lax.with_sharding_constraint(lbl, shard)
+                    w = jax.lax.with_sharding_constraint(w, shard)
+                step_rng = jax.random.fold_in(key, 10_000 + i)
+                state, mstate, score1 = self._train_step_impl(
+                    state, mstate, img, lbl, w, step_rng, alpha)
+                return (state, mstate), (score1, lbl)
+
+            (state, mstate), (scores, lbls) = jax.lax.scan(
+                body, (state, mstate), (jnp.arange(n_steps), idx))
+            return state, mstate, scores, lbls
+
+        fn = jax.jit(epoch_fn, donate_argnums=(0, 1))
+        self._scan_cache[cache_key] = (pipeline, fn)
+        return fn
+
+    def _scan_eval_fn(self, pipeline, n_steps: int):
+        cache_key = ("eval", id(pipeline), n_steps)
+        hit = self._scan_cache.get(cache_key)
+        if hit is not None:
+            return hit[1]
+        bs, n = pipeline.batch_size, pipeline.n
+        shard = self.batch_sharding
+
+        def epoch_fn(variables, mstate):
+            pos = jnp.arange(n_steps * bs)
+            idx = jnp.minimum(pos, n - 1).reshape(n_steps, bs)
+            wts = (pos < n).astype(jnp.float32).reshape(n_steps, bs)
+            key0 = jax.random.PRNGKey(0)
+
+            def body(mstate, xs):
+                idx_b, w = xs
+                img = pipeline._make_batch(idx_b, key0, augment=False)
+                lbl = jnp.take(pipeline.labels, idx_b, axis=0)
+                if shard is not None:
+                    img = jax.lax.with_sharding_constraint(img, shard)
+                    lbl = jax.lax.with_sharding_constraint(lbl, shard)
+                    w = jax.lax.with_sharding_constraint(w, shard)
+                mstate, score1 = self._eval_step_impl(variables, mstate,
+                                                      img, lbl, w)
+                return mstate, (score1, lbl)
+
+            mstate, (scores, lbls) = jax.lax.scan(body, mstate, (idx, wts))
+            return mstate, scores, lbls, wts
+
+        fn = jax.jit(epoch_fn, donate_argnums=(1,))
+        self._scan_cache[cache_key] = (pipeline, fn)
+        return fn
+
     def train_epoch(self, pipeline, epoch: int, rng: jax.Array) -> Dict[str, float]:
         """One epoch with ZERO per-step host synchronisation: the metric
         state is a donated device carry; scores/labels stay device-resident
-        and are read back once in finalize_metric_state."""
+        and are read back once in finalize_metric_state. With scan_epoch
+        (default) the whole epoch is ONE dispatched program."""
         mstate = zero_metric_state(self._aux_keys)
         scores: List = []
         lbls: List = []
@@ -324,6 +406,17 @@ class Trainer:
         limit = self.cfg.limit_train_batches
         max_batches = pipeline.steps_per_epoch() if limit >= 1.0 else \
             max(1, int(pipeline.steps_per_epoch() * limit))
+        if 0 < self.cfg.max_steps:
+            max_batches = min(max_batches,
+                              self.cfg.max_steps - self._global_step)
+        if self.cfg.scan_epoch and hasattr(pipeline, "_make_batch") \
+                and max_batches > 0:
+            fn = self._scan_train_fn(pipeline, max_batches)
+            self.state, mstate, sc, lb = fn(self.state, mstate, rng, alpha)
+            self._global_step += max_batches
+            return finalize_metric_state(
+                mstate, [sc.reshape(-1)], [lb.reshape(-1)],
+                [jnp.ones(sc.size, jnp.float32)], prefix="train_")
         for i, batch in enumerate(pipeline.epoch(rng)):
             if i >= max_batches or (0 < self.cfg.max_steps <= self._global_step):
                 break
@@ -344,6 +437,12 @@ class Trainer:
         lbls: List = []
         wts: List = []
         variables = self.state.variables(use_ema=use_ema)
+        if self.cfg.scan_epoch and hasattr(pipeline, "_make_batch"):
+            fn = self._scan_eval_fn(pipeline, pipeline.steps_per_epoch())
+            mstate, sc, lb, w = fn(variables, mstate)
+            return finalize_metric_state(
+                mstate, [sc.reshape(-1)], [lb.reshape(-1)], [w.reshape(-1)],
+                prefix=prefix)
         for batch in pipeline.epoch(jax.random.PRNGKey(0)):
             mstate, score1 = self._eval_step(variables, mstate, batch.image,
                                              batch.label, batch.weight)
