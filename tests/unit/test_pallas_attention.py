@@ -110,6 +110,85 @@ class TestFusedSwinAttention:
     def test_row_tiling(self):
         self._case(2, 16, 16, 96, 3, 4, 0, rows=1)
 
+    def _grad_case(self, B, H, W, C, heads, ws, shift):
+        """custom_vjp backward kernel vs XLA autodiff of the same math."""
+        from thyroid_tpu.models.vit.swin import (
+            shift_attention_mask, window_partition, window_reverse)
+        from thyroid_tpu.ops.attention import fused_swin_attention
+
+        n, dh = ws * ws, C // heads
+        qkv = jnp.asarray(RS.randn(B, H, W, 3, C).astype(np.float32))
+        bias = jnp.asarray((RS.randn(heads, n, n) * 0.1).astype(np.float32))
+        mask = shift_attention_mask(H, W, ws, shift)
+        mask_j = jnp.asarray(mask) if mask is not None else None
+        wvec = jnp.asarray(RS.randn(B, H, W, C).astype(np.float32))
+
+        def loss_fused(qkv, bias):
+            out = fused_swin_attention(qkv, bias, mask_j, window_size=ws,
+                                       num_heads=heads, interpret=True)
+            return (out * wvec).sum()
+
+        def loss_ref(qkv, bias):
+            def part(t):
+                return window_partition(t, ws).reshape(
+                    -1, n, heads, dh).transpose(0, 2, 1, 3)
+
+            ref = window_attention_reference(
+                part(qkv[:, :, :, 0]), part(qkv[:, :, :, 1]),
+                part(qkv[:, :, :, 2]), bias, mask_j)
+            ref = window_reverse(ref.transpose(0, 2, 1, 3).reshape(-1, n, C),
+                                 ws, H, W)
+            return (ref * wvec).sum()
+
+        g_fused = jax.grad(loss_fused, argnums=(0, 1))(qkv, bias)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+        for a, b, name in zip(g_fused, g_ref, ("dqkv", "dbias")):
+            a, b = np.asarray(a), np.asarray(b)
+            denom = max(np.abs(b).max(), 1.0)
+            assert np.abs(a - b).max() / denom < 2e-5, \
+                (name, np.abs(a - b).max())
+
+    def test_grad_single_group(self):
+        self._grad_case(2, 8, 8, 96, 3, 4, 0)
+
+    def test_grad_multi_group_shifted(self):   # heads 6 → lane groups (4, 2)
+        self._grad_case(2, 8, 8, 192, 6, 4, 2)
+
+    def test_grad_batch_packed(self):          # res == ws → bt > 1 path
+        self._grad_case(4, 4, 4, 128, 4, 4, 0)
+
+    def test_model_train_grads_fused_equals_xla(self):
+        """swin param grads identical with the Pallas train path on/off."""
+        from thyroid_tpu.models import ModelRegistry
+
+        params = {"patch_size": 4, "embed_dim": 32, "depths": [1, 1],
+                  "num_heads": [2, 4], "window_size": 4,
+                  "drop_path_rate": 0.0, "drop_rate": 0.0}
+        x = jnp.asarray(RS.rand(2, 32, 32, 1).astype(np.float32))
+        y = jnp.asarray(np.array([0, 1], np.int32))
+        grads = {}
+        for up in (False, True):
+            m = ModelRegistry.create_model(
+                {"name": "swin_tiny", "img_size": 32, "in_channels": 1,
+                 "num_classes": 2, "use_pallas_attention": up,
+                 "params": params})
+            v = m.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(1)},
+                       jnp.zeros((1, 32, 32, 1)), train=False)
+
+            def loss(p):
+                logits = m.apply({"params": p}, x, train=True,
+                                 rngs={"dropout": jax.random.PRNGKey(2)})
+                lp = jax.nn.log_softmax(logits)
+                return -lp[jnp.arange(2), y].mean()
+
+            grads[up] = jax.grad(loss)(v["params"])
+        flat_t, _ = jax.tree.flatten(grads[True])
+        flat_f, _ = jax.tree.flatten(grads[False])
+        for a, b in zip(flat_t, flat_f):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=5e-4)
+
     def test_model_level_fused_equals_xla(self):
         """swin_tiny outputs identical with use_pallas_attention on/off."""
         from thyroid_tpu.models import ModelRegistry

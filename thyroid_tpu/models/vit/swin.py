@@ -225,12 +225,15 @@ class SwinBlock(nn.Module):
             softmax_dtype=self.softmax_dtype,
             dtype=self.dtype, name="attn",
         )
-        # Fused spatial kernel: eval/serving only (pallas_call has no
-        # autodiff here) and not for variants needing the attention matrix.
-        fused = self.use_pallas and deterministic and not capture \
-            and not self.contrast_adaptive
+        # Fused spatial kernel — train AND eval (custom_vjp backward kernel,
+        # ops/attention.py). Excluded: attention-matrix capture, per-head
+        # contrast scaling (score edit between bias and softmax), and
+        # training with attention dropout (the kernel has none).
+        fused = self.use_pallas and not capture \
+            and not self.contrast_adaptive \
+            and (deterministic or self.attn_drop_rate == 0.0)
         if fused:
-            x = attn(x, mask=mask, deterministic=True, spatial=True)
+            x = attn(x, mask=mask, deterministic=deterministic, spatial=True)
         else:
             windows = window_partition(x, ws)
             windows = attn(windows, mask=mask, deterministic=deterministic,

@@ -237,24 +237,18 @@ def _swin_kernel(qkv_ref, mask_ref, *rest, ws: int, nww: int,
     o_ref[:] = o.reshape(bt, rows * ws, nww * ws, c).astype(o_ref.dtype)
 
 
-def fused_swin_attention(
+def _fused_swin_fwd_call(
     qkv: jnp.ndarray,
     bias: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     *,
     window_size: int,
     num_heads: int,
-    scale: Optional[float] = None,
+    scale: float,
     rows_per_step: Optional[int] = None,
-    interpret: Optional[bool] = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """qkv: (B, H, W, 3, C) spatial tensor (already LN'd, rolled if shifted,
-    and projected); bias: (h, N, N); mask: (nW, N, N) shift mask or None.
-    → (B, H, W, C) attention output, windows already reversed."""
-    if interpret is None:
-        dev = jax.devices()[0]
-        blob = f"{dev.platform} {getattr(dev, 'device_kind', '')}".lower()
-        interpret = "tpu" not in blob
+    """Raw forward pallas_call (no autodiff) — see fused_swin_attention."""
     b, hh, ww_, three, c = qkv.shape
     ws = window_size
     dh = c // num_heads
@@ -319,6 +313,267 @@ def fused_swin_attention(
         out_shape=jax.ShapeDtypeStruct((b, hh, ww_, c), qkv.dtype),
         interpret=interpret,
     )(qkv, m, *packed_biases)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel (round 2) — makes the fused Swin attention trainable.
+#
+# Flash-style: residuals are just the kernel INPUTS (qkv, bias, mask); the
+# backward kernel recomputes the head-packed softmax in VMEM and produces all
+# gradients with the same block-diagonal lane-masking trick as the forward:
+#   dV = Pᵀ@dO, dP = dO@Vᵀ, dS = P⊙(dP − rowsumₚ(dP⊙P)),
+#   dQ = scale·dS@K, dK = dSᵀ@Q_s, dBias = Σ_windows dS
+# dSᵀ@Q is computed as a dot_general contraction over the token axis — no
+# sublane↔lane transposes anywhere. dBias accumulates across grid steps into
+# a constant-index output block (sequential TPU grid).
+# ---------------------------------------------------------------------------
+
+
+def _swin_bwd_kernel(qkv_ref, do_ref, mask_ref, *rest, ws: int, nww: int,
+                     rows: int, bt: int, num_heads: int, head_dim: int,
+                     scale: float, has_mask: bool):
+    groups = _packed_groups(num_heads, head_dim)
+    ng = len(groups)
+    bias_refs = rest[:ng]
+    dqkv_ref = rest[ng]
+    dbias_refs = rest[ng + 1:]
+    n = ws * ws
+    c = num_heads * head_dim
+    dt = jnp.float32
+    rw = bt * rows * nww
+    x = qkv_ref[:].reshape(bt, rows, ws, nww, ws, 3, c).astype(dt)
+    x = x.transpose(0, 1, 3, 2, 4, 5, 6).reshape(rw, n, 3, c)
+    # dO arrives as (BT, R·ws, W, 1, C): the trailing (1, C) keeps the
+    # window-partition splits on LEADING dims (Mosaic rejects sublane-dim
+    # shape casts — same trick the forward gets for free from qkv's (3, C))
+    do = do_ref[:].reshape(bt, rows, ws, nww, ws, 1, c).astype(dt)
+    do = do.transpose(0, 1, 3, 2, 4, 5, 6).reshape(rw, n, 1, c)[:, :, 0, :]
+    q = x[:, :, 0, :] * jnp.asarray(scale, dt)
+    k = x[:, :, 1, :]
+    v = x[:, :, 2, :]
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    dqs, dks, dvs = [], [], []
+    for (h0, p), bias_ref, dbias_ref in zip(groups, bias_refs, dbias_refs):
+        lo, width = h0 * head_dim, p * head_dim
+        qg = q[:, :, lo:lo + width]
+        kg = k[:, :, lo:lo + width]
+        vg = v[:, :, lo:lo + width]
+        dog = do[:, :, lo:lo + width]
+        row_blk = jax.lax.broadcasted_iota(jnp.int32, (p * n, width), 0) // n
+        lane_blk = jax.lax.broadcasted_iota(jnp.int32, (p * n, width), 1) \
+            // head_dim
+        blk = (row_blk == lane_blk).astype(dt)
+        k_masked = jnp.concatenate([kg] * p, axis=1) * blk[None]
+        v_masked = jnp.concatenate([vg] * p, axis=1) * blk[None]
+
+        # recompute the packed softmax exactly as the forward did
+        s = jax.lax.dot_general(qg, k_masked, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s + bias_ref[:][None]
+        if has_mask:
+            m = mask_ref[0].astype(jnp.float32)
+            if bt > 1:
+                m = jnp.concatenate([m] * bt, axis=0)
+            s = s + jnp.concatenate([m] * p, axis=2)
+        mrow = s.max(axis=-1, keepdims=True)
+        e = jnp.exp(s - mrow)
+        denom_blocks = [
+            jnp.broadcast_to(
+                e[:, :, i * n:(i + 1) * n].sum(axis=-1, keepdims=True),
+                (rw, n, n))
+            for i in range(p)]
+        denom = jnp.concatenate(denom_blocks, axis=2) if p > 1 \
+            else denom_blocks[0]
+        probs = e / denom                                   # (RW, N, P·N)
+
+        # dV — rows of block p only see lanes of block p after ⊙blk, so the
+        # static slice-sum folds (P·N, W) back to packed (N, W)
+        dv_m = jax.lax.dot_general(probs, dog, (((1,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32)
+        dv_m = dv_m * blk[None]
+        dv = dv_m[:, :n]
+        for i in range(1, p):
+            dv = dv + dv_m[:, i * n:(i + 1) * n]
+
+        # dS = P ⊙ (dP − per-block rowsum(dP ⊙ P))
+        dp = jax.lax.dot_general(dog, v_masked, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        t = dp * probs
+        r_blocks = [
+            jnp.broadcast_to(
+                t[:, :, i * n:(i + 1) * n].sum(axis=-1, keepdims=True),
+                (rw, n, n))
+            for i in range(p)]
+        r = jnp.concatenate(r_blocks, axis=2) if p > 1 else r_blocks[0]
+        ds = probs * (dp - r)                               # (RW, N, P·N)
+
+        contrib = ds.sum(axis=0).astype(dbias_ref.dtype)    # (N, P·N)
+
+        @pl.when(first)
+        def _init():
+            dbias_ref[:] = contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _acc():
+            dbias_ref[:] = dbias_ref[:] + contrib
+
+        dq = jax.lax.dot_general(ds, k_masked, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dqs.append(dq * jnp.asarray(scale, dt))
+        # dK = dSᵀ @ Q_s without a transpose: contract over the token axis
+        dk_m = jax.lax.dot_general(ds, qg, (((1,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32)
+        dk_m = dk_m * blk[None]
+        dk = dk_m[:, :n]
+        for i in range(1, p):
+            dk = dk + dk_m[:, i * n:(i + 1) * n]
+        dks.append(dk)
+        dvs.append(dv)
+
+    cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1))
+    # lane-concat [dQ | dK | dV] → (RW, N, 3C): matches the (3, C) reshape
+    # order applied in XLA outside; avoids an unsupported new-sublane stack
+    dx = jnp.concatenate([cat(dqs), cat(dks), cat(dvs)], axis=-1)
+    dx = dx.reshape(bt, rows, nww, ws, ws, 3 * c)
+    dx = dx.transpose(0, 1, 3, 2, 4, 5)
+    dqkv_ref[:] = dx.reshape(bt, rows * ws, nww * ws, 3 * c) \
+        .astype(dqkv_ref.dtype)
+
+
+def _swin_bwd_call(qkv, do, bias, mask, *, window_size: int, num_heads: int,
+                   scale: float, interpret: bool):
+    b, hh, ww_, _, c = qkv.shape
+    ws = window_size
+    dh = c // num_heads
+    n = ws * ws
+    nwh, nww = hh // ws, ww_ // ws
+    pfac = max(1, 128 // dh)
+    budget = 3 * 1024 * 1024
+    # qkv + dqkv + dO blocks, plus ~6 f32 (RW, N, P·N) temporaries
+    bytes_row = ws * ww_ * (3 * c * 2 + c) * qkv.dtype.itemsize \
+        + nww * n * pfac * n * 4 * 6
+    rows = max(1, min(nwh, budget // max(1, bytes_row)))
+    while nwh % rows:
+        rows -= 1
+    bt = 1
+    if rows == nwh:
+        bt = max(1, min(b, budget // max(1, bytes_row * nwh)))
+        while b % bt:
+            bt -= 1
+
+    has_mask = mask is not None
+    if has_mask:
+        m = mask.reshape(nwh // rows, rows * nww, n, n).astype(jnp.float32)
+    else:
+        m = jnp.zeros((1, 1, 1, 1), jnp.float32)
+    groups = _packed_groups(num_heads, dh)
+    packed_biases = [
+        bias[h0:h0 + p].astype(jnp.float32).transpose(1, 0, 2).reshape(n, p * n)
+        for h0, p in groups]
+
+    kernel = functools.partial(
+        _swin_bwd_kernel, ws=ws, nww=nww, rows=rows, bt=bt,
+        num_heads=num_heads, head_dim=dh, scale=scale, has_mask=has_mask)
+    do4 = do.reshape(b, hh, ww_, 1, c)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b // bt, nwh // rows),
+        in_specs=[
+            pl.BlockSpec((bt, rows * ws, ww_, 3, c),
+                         lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, rows * ws, ww_, 1, c),
+                         lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows * nww, n, n) if has_mask else (1, 1, 1, 1),
+                         (lambda i, j: (j, 0, 0, 0)) if has_mask
+                         else (lambda i, j: (0, 0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((n, p * n), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for _, p in groups
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, rows * ws, ww_, 3 * c),
+                         lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((n, p * n), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for _, p in groups
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, hh, ww_, 3 * c), qkv.dtype)] + [
+            jax.ShapeDtypeStruct((n, p * n), jnp.float32) for _, p in groups],
+        interpret=interpret,
+    )(qkv, do4, m, *packed_biases)
+    dqkv = outs[0].reshape(qkv.shape)
+    # unpack per-group (N, P·N) lane blocks back to (h, N, N)
+    dbias = jnp.concatenate([
+        outs[1 + gi].reshape(n, p, n).transpose(1, 0, 2)
+        for gi, (_, p) in enumerate(groups)], axis=0)
+    return dqkv, dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _swin_attn_ad(qkv, bias, mask, window_size, num_heads, scale, interpret):
+    return _fused_swin_fwd_call(qkv, bias, mask, window_size=window_size,
+                                num_heads=num_heads, scale=scale,
+                                interpret=interpret)
+
+
+def _swin_attn_ad_fwd(qkv, bias, mask, window_size, num_heads, scale,
+                      interpret):
+    out = _fused_swin_fwd_call(qkv, bias, mask, window_size=window_size,
+                               num_heads=num_heads, scale=scale,
+                               interpret=interpret)
+    return out, (qkv, bias, mask)
+
+
+def _swin_attn_ad_bwd(window_size, num_heads, scale, interpret, res, g):
+    qkv, bias, mask = res
+    dqkv, dbias = _swin_bwd_call(
+        qkv, g.astype(qkv.dtype), bias, mask, window_size=window_size,
+        num_heads=num_heads, scale=scale, interpret=interpret)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dqkv.astype(qkv.dtype), dbias.astype(bias.dtype), dmask
+
+
+_swin_attn_ad.defvjp(_swin_attn_ad_fwd, _swin_attn_ad_bwd)
+
+
+def fused_swin_attention(
+    qkv: jnp.ndarray,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    *,
+    window_size: int,
+    num_heads: int,
+    scale: Optional[float] = None,
+    rows_per_step: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """qkv: (B, H, W, 3, C) spatial tensor (already LN'd, rolled if shifted,
+    and projected); bias: (h, N, N); mask: (nW, N, N) shift mask or None.
+    → (B, H, W, C) attention output, windows already reversed.
+
+    Differentiable: a custom_vjp pairs the forward kernel with a flash-style
+    backward kernel (residuals = inputs, softmax recomputed in VMEM), so the
+    Pallas path serves TRAINING as well as eval. Passing an explicit
+    rows_per_step selects the raw forward-only call (kernel tiling tests)."""
+    if interpret is None:
+        dev = jax.devices()[0]
+        blob = f"{dev.platform} {getattr(dev, 'device_kind', '')}".lower()
+        interpret = "tpu" not in blob
+    if scale is None:
+        scale = (qkv.shape[-1] // num_heads) ** -0.5
+    if rows_per_step is not None:
+        return _fused_swin_fwd_call(
+            qkv, bias, mask, window_size=window_size, num_heads=num_heads,
+            scale=scale, rows_per_step=rows_per_step, interpret=interpret)
+    return _swin_attn_ad(qkv, bias, mask, window_size, num_heads,
+                         float(scale), bool(interpret))
 
 
 def window_attention_reference(
