@@ -112,6 +112,20 @@ class TestParamCounts:
 
 @pytest.mark.unit
 class TestModelBehaviors:
+    def test_inception_aux_finite_below_canonical_size(self):
+        """At 224² the aux branch reaches its 5×5 conv with a 3×3 grid;
+        VALID there would emit a zero-size map and a NaN mean (the round-2
+        demo NaN) — the SAME-padding fallback must keep aux finite."""
+        model, variables = create_and_init(
+            {"name": "inception_v3", "img_size": 224}, jax.random.PRNGKey(0))
+        x = jnp.asarray(np.random.RandomState(3).rand(2, 224, 224, 1)
+                        .astype(np.float32))
+        out, _, _ = forward(model, variables, x, train=True,
+                            rng=jax.random.PRNGKey(1))
+        assert isinstance(out, tuple) and len(out) == 2
+        for o in out:
+            assert np.isfinite(np.asarray(o)).all()
+
     def test_deit_train_returns_two_heads(self):
         model, variables = create_and_init(
             {"name": "deit_tiny", "img_size": 64}, jax.random.PRNGKey(0))

@@ -154,7 +154,12 @@ class InceptionV3(nn.Module):
             # train and eval; the tuple is only *returned* in train mode
             a = nn.avg_pool(x, (5, 5), strides=(3, 3), padding="VALID")
             a = ConvBN(128, (1, 1), dtype=self.dtype, name="aux_conv0")(a, train)
-            a = ConvBN(768, (5, 5), padding="VALID", dtype=self.dtype,
+            # canonical 299² input reaches here at 5×5, where VALID matches
+            # torch (→1×1). Below 5×5 (e.g. a 224² run) VALID would emit a
+            # ZERO-size grid and the mean below would be NaN — fall back to
+            # SAME (weight shapes unchanged, so imports are unaffected).
+            aux_pad = "VALID" if min(a.shape[1], a.shape[2]) >= 5 else "SAME"
+            a = ConvBN(768, (5, 5), padding=aux_pad, dtype=self.dtype,
                        name="aux_conv1")(a, train)
             a = a.mean(axis=(1, 2))
             aux = nn.Dense(self.num_classes, dtype=jnp.float32, name="aux_fc")(a)
