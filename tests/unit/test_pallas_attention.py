@@ -157,6 +157,80 @@ class TestFusedSwinAttention:
     def test_grad_batch_packed(self):          # res == ws → bt > 1 path
         self._grad_case(4, 4, 4, 128, 4, 4, 0)
 
+    def _ln_case(self, B, H, W, C, heads, ws, shift):
+        """LN+QKV-fusing serving kernel vs the same math composed in XLA."""
+        from thyroid_tpu.models.vit.swin import (
+            manual_layer_norm, shift_attention_mask, window_partition,
+            window_reverse)
+        from thyroid_tpu.ops.attention import fused_swin_ln_attention
+
+        n, dh = ws * ws, C // heads
+        x = jnp.asarray(RS.randn(B, H, W, C).astype(np.float32))
+        g = jnp.asarray((1 + 0.1 * RS.randn(C)).astype(np.float32))
+        bln = jnp.asarray((0.1 * RS.randn(C)).astype(np.float32))
+        wqkv = jnp.asarray((RS.randn(C, 3 * C) / np.sqrt(C))
+                           .astype(np.float32))
+        bqkv = jnp.asarray((0.1 * RS.randn(3 * C)).astype(np.float32))
+        bias = jnp.asarray((RS.randn(heads, n, n) * 0.1).astype(np.float32))
+        mask = shift_attention_mask(H, W, ws, shift)
+        mask_j = jnp.asarray(mask) if mask is not None else None
+
+        got = fused_swin_ln_attention(
+            x, g, bln, wqkv, bqkv, bias, mask_j, window_size=ws,
+            num_heads=heads, interpret=True)
+
+        xn = manual_layer_norm(x, g, bln, jnp.float32)
+        qkv = xn @ wqkv + bqkv
+
+        def part(t):
+            return window_partition(t, ws).reshape(
+                -1, n, heads, dh).transpose(0, 2, 1, 3)
+
+        want = window_attention_reference(
+            part(qkv[..., :C]), part(qkv[..., C:2 * C]),
+            part(qkv[..., 2 * C:]), bias, mask_j)
+        want = window_reverse(
+            want.transpose(0, 2, 1, 3).reshape(-1, n, C), ws, H, W)
+        assert np.abs(np.asarray(got) - np.asarray(want)).max() < 2e-5
+
+    def test_ln_qkv_fused_single_group(self):
+        self._ln_case(2, 8, 8, 96, 3, 4, 0)
+
+    def test_ln_qkv_fused_multi_group_shifted(self):
+        self._ln_case(2, 8, 8, 192, 6, 4, 2)
+
+    def test_ln_qkv_fused_no_bias_batch_packed(self):
+        from thyroid_tpu.models.vit.swin import manual_layer_norm
+        from thyroid_tpu.ops.attention import fused_swin_ln_attention
+
+        C, heads, ws = 128, 4, 4
+        x = jnp.asarray(RS.randn(4, 4, 4, C).astype(np.float32))
+        g = jnp.ones((C,), jnp.float32)
+        bln = jnp.zeros((C,), jnp.float32)
+        wqkv = jnp.asarray((RS.randn(C, 3 * C) / np.sqrt(C))
+                           .astype(np.float32))
+        n = ws * ws
+        bias = jnp.asarray((RS.randn(heads, n, n) * 0.1).astype(np.float32))
+        got = fused_swin_ln_attention(x, g, bln, wqkv, None, bias, None,
+                                      window_size=ws, num_heads=heads,
+                                      interpret=True)
+        from thyroid_tpu.models.vit.swin import (window_partition,
+                                                 window_reverse)
+        xn = manual_layer_norm(x, g, bln, jnp.float32)
+        qkv = xn @ wqkv
+        dh = C // heads
+
+        def part(t):
+            return window_partition(t, ws).reshape(
+                -1, n, heads, dh).transpose(0, 2, 1, 3)
+
+        want = window_attention_reference(
+            part(qkv[..., :C]), part(qkv[..., C:2 * C]),
+            part(qkv[..., 2 * C:]), bias, None)
+        want = window_reverse(
+            want.transpose(0, 2, 1, 3).reshape(-1, n, C), ws, 4, 4)
+        assert np.abs(np.asarray(got) - np.asarray(want)).max() < 2e-5
+
     def test_model_train_grads_fused_equals_xla(self):
         """swin param grads identical with the Pallas train path on/off."""
         from thyroid_tpu.models import ModelRegistry

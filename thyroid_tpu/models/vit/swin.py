@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..layers import DropPath, Mlp, trunc_normal_init
+from ..layers import DropPath, trunc_normal_init
 from ..registry import ModelRegistry, cfg_get, resolve_dtype
 
 Dtype = Any
@@ -83,6 +83,64 @@ def shift_attention_mask(h: int, w: int, ws: int, shift: int) -> Optional[np.nda
     return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
 
 
+class _LNParams(nn.Module):
+    """LayerNorm parameters WITHOUT the computation — the fused serving
+    kernel computes LN in VMEM, so the block only needs (scale, bias).
+    Named "norm1" this creates the exact same param tree as nn.LayerNorm
+    (checkpoints and the torch importer are unaffected)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class _DenseParams(nn.Module):
+    """nn.Dense-compatible parameters (kernel/bias, same names and inits)
+    exposed raw so the fused kernel can consume them directly."""
+
+    in_dim: int
+    out_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", trunc_normal_init,
+                            (self.in_dim, self.out_dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,)) \
+            if self.use_bias else None
+        return kernel, bias
+
+
+class _MlpParams(nn.Module):
+    """Mlp-compatible parameter tree (mlp/Dense_0, mlp/Dense_1) exposed raw
+    for the fused LN+MLP serving kernel (ops/token_fused.py)."""
+
+    in_dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.in_dim, self.hidden, name="Dense_0")()
+        w2, b2 = _DenseParams(self.hidden, self.in_dim, name="Dense_1")()
+        return w1, b1, w2, b2
+
+
+def manual_layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                      dtype: Dtype, eps: float = 1e-6) -> jnp.ndarray:
+    """flax nn.LayerNorm numerics (fast variance, f32 stats, same op order)
+    computed from raw params — the XLA-side counterpart of the fused
+    kernel's in-VMEM LN."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, (xf * xf).mean(axis=-1, keepdims=True) - mu * mu)
+    mul = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    y = (xf - mu) * mul + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias + medical adaptations."""
 
@@ -96,20 +154,36 @@ class WindowAttention(nn.Module):
     contrast_adaptive: bool = False
     quality_guided: bool = False
     use_pallas: bool = False
+    # LN+QKV-fusing kernel variant: MEASURED SLOWER than the qkv-input
+    # kernel on v5e (1.9k vs 3.1k img/s swin_tiny end-to-end) — the (1, C)
+    # trailing-dim input tiles each (1, 96) row into an (8, 128) VMEM tile
+    # (~8× DMA bloat) and the per-window (N, C)·(C, C) matmuls are too small
+    # for the MXU. Kept for the record + unit tests; off by default.
+    ln_kernel: bool = False
     softmax_dtype: Dtype = jnp.float32
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
                  deterministic: bool = True, capture: bool = False,
-                 spatial: bool = False) -> jnp.ndarray:
+                 spatial: bool = False,
+                 ln: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+                 ) -> jnp.ndarray:
         ws = self.window_size
         c = x.shape[-1]
         head_dim = c // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
 
-        qkv_dense = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
-                             kernel_init=trunc_normal_init, name="qkv")
+        qkv_kernel, qkv_b = _DenseParams(c, 3 * c, self.qkv_bias,
+                                         name="qkv")()
+
+        def qkv_apply(t):
+            # nn.Dense(dtype=self.dtype) numerics from the raw params
+            y = t.astype(self.dtype) @ qkv_kernel.astype(self.dtype)
+            if qkv_b is not None:
+                y = y + qkv_b.astype(self.dtype)
+            return y
+
         table = self.param("relative_position_bias_table", trunc_normal_init,
                            ((2 * ws - 1) ** 2, self.num_heads))
         idx = relative_position_index(ws)
@@ -117,22 +191,44 @@ class WindowAttention(nn.Module):
         bias_nnh = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
 
         if spatial:
-            # Fused Pallas path (round 2): x is the PRE-ROLLED spatial map
-            # (B, H, W, C); window partition + head-packed W-MSA + window
-            # reverse run in one VMEM-resident kernel (ops/attention.py
-            # fused_swin_attention — design notes there).
-            from ...ops.attention import fused_swin_attention
+            # Fused Pallas paths (round 2): x is the PRE-ROLLED spatial map
+            # (B, H, W, C). Serving (deterministic, ln given): LayerNorm +
+            # QKV + window partition + W-MSA + reverse in ONE kernel from
+            # the RAW residual stream (fused_swin_ln_attention — removes the
+            # qkv HBM tensor and its relayout; design notes in
+            # ops/attention.py). Training: LN+QKV in XLA, attention through
+            # the custom_vjp qkv-input kernel.
+            from ...ops.attention import (fused_swin_attention,
+                                          fused_swin_ln_attention)
 
             b, hh, ww_ = x.shape[:3]
-            qkv = qkv_dense(x).reshape(b, hh, ww_, 3, c)
-            out = fused_swin_attention(
-                qkv, bias_nnh.transpose(2, 0, 1).astype(jnp.float32),
-                mask=mask, window_size=ws, num_heads=self.num_heads,
-                scale=scale).astype(self.dtype)
+            bias_hnn = bias_nnh.transpose(2, 0, 1).astype(jnp.float32)
+            if self.ln_kernel and ln is not None and deterministic:
+                out = fused_swin_ln_attention(
+                    x, ln[0], ln[1], qkv_kernel, qkv_b, bias_hnn, mask=mask,
+                    window_size=ws, num_heads=self.num_heads,
+                    scale=scale).astype(self.dtype)
+            else:
+                if ln is not None and deterministic:
+                    # serving: LN fused into the QKV matmul's VMEM pass
+                    # (token-2D kernel, ops/token_fused.py) — kills the
+                    # standalone XLA LayerNorm fusion on the stream
+                    from ...ops.token_fused import fused_ln_matmul
+
+                    qkv = fused_ln_matmul(x, ln[0], ln[1], qkv_kernel,
+                                          qkv_b).reshape(b, hh, ww_, 3, c)
+                else:
+                    xn = manual_layer_norm(x, ln[0], ln[1], self.dtype) \
+                        if ln is not None else x
+                    qkv = qkv_apply(xn).reshape(b, hh, ww_, 3, c)
+                out = fused_swin_attention(
+                    qkv, bias_hnn, mask=mask, window_size=ws,
+                    num_heads=self.num_heads,
+                    scale=scale).astype(self.dtype)
             return self._output_proj(out, deterministic)
 
         b_, n, c = x.shape
-        qkv = qkv_dense(x)
+        qkv = qkv_apply(x)
         qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)
         q = q.transpose(0, 2, 1, 3)                             # (B_, h, n, hd)
@@ -209,7 +305,9 @@ class SwinBlock(nn.Module):
             ws, shift = min(h, w), 0
 
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        # norm1 params only — the fused serving kernel computes LN in VMEM;
+        # the other paths apply the identical math via manual_layer_norm.
+        g_ln, b_ln = _LNParams(c, name="norm1")()
         x = x.reshape(b, h, w, c)
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
@@ -233,9 +331,11 @@ class SwinBlock(nn.Module):
             and not self.contrast_adaptive \
             and (deterministic or self.attn_drop_rate == 0.0)
         if fused:
-            x = attn(x, mask=mask, deterministic=deterministic, spatial=True)
+            x = attn(x, mask=mask, deterministic=deterministic, spatial=True,
+                     ln=(g_ln, b_ln))
         else:
-            windows = window_partition(x, ws)
+            xn = manual_layer_norm(x, g_ln, b_ln, self.dtype)
+            windows = window_partition(xn, ws)
             windows = attn(windows, mask=mask, deterministic=deterministic,
                            capture=capture)
             x = window_reverse(windows, ws, h, w)
@@ -244,9 +344,23 @@ class SwinBlock(nn.Module):
         x = x.reshape(b, l, c)
         x = shortcut + DropPath(self.drop_path_rate)(x, deterministic=deterministic)
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        y = Mlp(int(c * self.mlp_ratio), drop_rate=self.drop_rate,
-                dtype=self.dtype, name="mlp")(y, deterministic=deterministic)
+        g2, b2_ln = _LNParams(c, name="norm2")()
+        w1, b1, w2, b2 = _MlpParams(c, int(c * self.mlp_ratio), name="mlp")()
+        if self.use_pallas and deterministic and not capture:
+            # serving: norm2 + fc1 + gelu + fc2 + residual in ONE kernel —
+            # the 4C hidden tensor never touches HBM (ops/token_fused.py).
+            # Dropout/DropPath are identities at eval, so this is exact.
+            from ...ops.token_fused import fused_ln_mlp_residual
+
+            return fused_ln_mlp_residual(x, g2, b2_ln, w1, b1, w2, b2)
+        y = manual_layer_norm(x, g2, b2_ln, self.dtype)
+        # Mlp numerics from the raw params (nn.Dense promotion + exact gelu)
+        y = y.astype(self.dtype) @ w1.astype(self.dtype) \
+            + b1.astype(self.dtype)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dropout(self.drop_rate)(y, deterministic=deterministic)
+        y = y @ w2.astype(self.dtype) + b2.astype(self.dtype)
+        y = nn.Dropout(self.drop_rate)(y, deterministic=deterministic)
         return x + DropPath(self.drop_path_rate)(y, deterministic=deterministic)
 
 

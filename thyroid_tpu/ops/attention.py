@@ -173,26 +173,16 @@ def _packed_groups(num_heads: int, head_dim: int):
     return groups
 
 
-def _swin_kernel(qkv_ref, mask_ref, *rest, ws: int, nww: int,
-                 rows: int, bt: int, num_heads: int, head_dim: int,
-                 scale: float, has_mask: bool):
+def _packed_attention_core(q, k, v, mask_ref, bias_refs, *, ws: int,
+                           nww: int, rows: int, bt: int, num_heads: int,
+                           head_dim: int, has_mask: bool):
+    """Head-packed W-MSA on window-layout f32 tensors q/k/v (RW, N, C)
+    (q pre-scaled) → (RW, N, C). Shared by the qkv-input and the
+    LN+QKV-fusing forward kernels."""
     groups = _packed_groups(num_heads, head_dim)
-    bias_refs, o_ref = rest[:len(groups)], rest[len(groups)]
     n = ws * ws
-    c = num_heads * head_dim
-    x = qkv_ref[:]                                   # (BT, R·ws, W, 3, C)
-    # f32 in-VMEM compute: bf16 operands were MEASURED SLOWER here (2.5× on
-    # stage 1) — the (16,128) bf16 tiling of N=49 sublanes plus f32↔bf16
-    # relayouts around the softmax cost more than the MXU rate gain.
     dt = jnp.float32
     rw = bt * rows * nww
-    # window partition: (BT, R·ws, W, 3C) → (BT·RW, N, 3, C)
-    x = x.reshape(bt, rows, ws, nww, ws, 3, c).astype(dt)
-    x = x.transpose(0, 1, 3, 2, 4, 5, 6).reshape(rw, n, 3, c)
-    q = x[:, :, 0, :] * jnp.asarray(scale, dt)
-    k = x[:, :, 1, :]
-    v = x[:, :, 2, :]
-
     outs = []
     for (h0, p), bias_ref in zip(groups, bias_refs):
         lo, width = h0 * head_dim, p * head_dim
@@ -219,7 +209,11 @@ def _swin_kernel(qkv_ref, mask_ref, *rest, ws: int, nww: int,
         mrow = s.max(axis=-1, keepdims=True)           # shared shift — exact
         e = jnp.exp(s - mrow)
         # per-block softmax denominators: sum each N-column block, then
-        # broadcast back — lane ops only, no lane-splitting reshapes
+        # broadcast back — lane ops only, no lane-splitting reshapes.
+        # (A block-diagonal-ones MATMUL computing denom in one MXU op was
+        # benchmarked and is NOT faster — 3.01k vs 3.11k img/s swin_tiny:
+        # the (P·N → 256-lane) pad makes the matmul cost what the VPU
+        # chain costs.)
         denom_blocks = [
             jnp.broadcast_to(
                 e[:, :, i * n:(i + 1) * n].sum(axis=-1, keepdims=True),
@@ -231,10 +225,39 @@ def _swin_kernel(qkv_ref, mask_ref, *rest, ws: int, nww: int,
         outs.append(jax.lax.dot_general(               # (RW, N, width)
             probs, v_masked, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32))
-    o = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
-    # window reverse: (BT·RW, N, C) → (BT, R·ws, W, C)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def _window_reverse_store(o, o_ref, *, ws: int, nww: int, rows: int, bt: int,
+                          c: int):
+    """(BT·RW, N, C) window layout → (BT, R·ws, W, C) spatial, stored."""
     o = o.reshape(bt, rows, nww, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
     o_ref[:] = o.reshape(bt, rows * ws, nww * ws, c).astype(o_ref.dtype)
+
+
+def _swin_kernel(qkv_ref, mask_ref, *rest, ws: int, nww: int,
+                 rows: int, bt: int, num_heads: int, head_dim: int,
+                 scale: float, has_mask: bool):
+    groups = _packed_groups(num_heads, head_dim)
+    bias_refs, o_ref = rest[:len(groups)], rest[len(groups)]
+    n = ws * ws
+    c = num_heads * head_dim
+    x = qkv_ref[:]                                   # (BT, R·ws, W, 3, C)
+    # f32 in-VMEM compute: bf16 operands were MEASURED SLOWER here (2.5× on
+    # stage 1) — the (16,128) bf16 tiling of N=49 sublanes plus f32↔bf16
+    # relayouts around the softmax cost more than the MXU rate gain.
+    dt = jnp.float32
+    rw = bt * rows * nww
+    # window partition: (BT, R·ws, W, 3C) → (BT·RW, N, 3, C)
+    x = x.reshape(bt, rows, ws, nww, ws, 3, c).astype(dt)
+    x = x.transpose(0, 1, 3, 2, 4, 5, 6).reshape(rw, n, 3, c)
+    q = x[:, :, 0, :] * jnp.asarray(scale, dt)
+    k = x[:, :, 1, :]
+    v = x[:, :, 2, :]
+    o = _packed_attention_core(q, k, v, mask_ref, bias_refs, ws=ws, nww=nww,
+                               rows=rows, bt=bt, num_heads=num_heads,
+                               head_dim=head_dim, has_mask=has_mask)
+    _window_reverse_store(o, o_ref, ws=ws, nww=nww, rows=rows, bt=bt, c=c)
 
 
 def _fused_swin_fwd_call(
@@ -313,6 +336,168 @@ def _fused_swin_fwd_call(
         out_shape=jax.ShapeDtypeStruct((b, hh, ww_, c), qkv.dtype),
         interpret=interpret,
     )(qkv, m, *packed_biases)
+
+
+# ---------------------------------------------------------------------------
+# LN+QKV-fusing forward kernel (round 2, serving path) — one kernel computes
+# LayerNorm → QKV projection → window partition → W-MSA → window reverse from
+# the RAW residual-stream tensor. Motivation (profiled on v5e, B=64
+# swin_tiny): the (B,L,3C)→(B,H,W,3,C) reshape feeding the qkv-input kernel
+# is a physical relayout (~0.6 ms per stage-1 block), and the pre-LN +
+# qkv-matmul XLA ops around the Pallas boundary inherit hostile layouts.
+# Fusing them removes the qkv HBM tensor entirely: the kernel reads x
+# (B,H,W,1,C) row-major (a bitcast of the residual stream) and writes the
+# attention output in the same layout.
+#
+# The trailing (1, C) keeps the window-partition splits on leading dims
+# (same trick as the backward kernel's dO). LN uses flax's fast-variance
+# formula (E[x²]−μ²) for bit-compatibility with the XLA path; the QKV
+# matmuls run per lane-group as (RW, N, C)·(C, C) dot_generals in the
+# model dtype (weights shipped pre-cast, f32 accumulation).
+# ---------------------------------------------------------------------------
+
+
+def _swin_ln_kernel(x_ref, g_ref, b_ref, wq_ref, wk_ref, wv_ref,
+                    bq_ref, bk_ref, bv_ref, mask_ref, *rest, ws: int,
+                    nww: int, rows: int, bt: int, num_heads: int,
+                    head_dim: int, scale: float, has_mask: bool, eps: float):
+    groups = _packed_groups(num_heads, head_dim)
+    bias_refs, o_ref = rest[:len(groups)], rest[len(groups)]
+    n = ws * ws
+    c = num_heads * head_dim
+    dt = jnp.float32
+    rw = bt * rows * nww
+    x = x_ref[:]                                     # (BT, R·ws, W, 1, C)
+    x = x.reshape(bt, rows, ws, nww, ws, 1, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5, 6).reshape(rw, n, 1, c)
+    xw = x[:, :, 0, :].astype(dt)                    # (RW, N, C)
+    mu = xw.mean(axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, (xw * xw).mean(axis=-1, keepdims=True) - mu * mu)
+    xn = (xw - mu) * jax.lax.rsqrt(var + jnp.asarray(eps, dt))
+    xn = xn * g_ref[:][None].astype(dt) + b_ref[:][None].astype(dt)
+    xn = xn.astype(wq_ref.dtype)   # model compute dtype, like the XLA Dense
+
+    def proj(w_ref, pb_ref):
+        y = jax.lax.dot_general(xn, w_ref[:], (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return y + pb_ref[:][None].astype(dt)
+
+    q = proj(wq_ref, bq_ref) * jnp.asarray(scale, dt)
+    k = proj(wk_ref, bk_ref)
+    v = proj(wv_ref, bv_ref)
+    o = _packed_attention_core(q, k, v, mask_ref, bias_refs, ws=ws, nww=nww,
+                               rows=rows, bt=bt, num_heads=num_heads,
+                               head_dim=head_dim, has_mask=has_mask)
+    _window_reverse_store(o, o_ref, ws=ws, nww=nww, rows=rows, bt=bt, c=c)
+
+
+def fused_swin_ln_attention(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    qkv_kernel: jnp.ndarray,
+    qkv_bias: Optional[jnp.ndarray],
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    *,
+    window_size: int,
+    num_heads: int,
+    scale: Optional[float] = None,
+    eps: float = 1e-6,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Serving fast path: x (B, H, W, C) RAW residual stream (already rolled
+    if shifted); ln_scale/ln_bias (C,); qkv_kernel (C, 3C); qkv_bias (3C,) or
+    None; bias (h, N, N) rel-pos; mask (nW, N, N) or None.
+    → (B, H, W, C) attention output (pre out-proj). No autodiff — the
+    training path keeps the qkv-input kernel's custom_vjp."""
+    if interpret is None:
+        dev = jax.devices()[0]
+        blob = f"{dev.platform} {getattr(dev, 'device_kind', '')}".lower()
+        interpret = "tpu" not in blob
+    b, hh, ww_, c = x.shape
+    ws = window_size
+    dh = c // num_heads
+    n = ws * ws
+    nwh, nww = hh // ws, ww_ // ws
+    if scale is None:
+        scale = dh ** -0.5
+    cdt = x.dtype
+    wq = qkv_kernel[:, :c].astype(cdt)
+    wk = qkv_kernel[:, c:2 * c].astype(cdt)
+    wv = qkv_kernel[:, 2 * c:].astype(cdt)
+    if qkv_bias is None:
+        bq = bk = bv = jnp.zeros((1, c), jnp.float32)
+    else:
+        qb = qkv_bias.astype(jnp.float32)
+        bq = qb[:c].reshape(1, c)
+        bk = qb[c:2 * c].reshape(1, c)
+        bv = qb[2 * c:].reshape(1, c)
+
+    pfac = max(1, 128 // dh)
+    budget = 3 * 1024 * 1024
+    # x block + xn/q/k/v f32 temporaries + packed-attention scratch
+    bytes_row = ws * ww_ * c * x.dtype.itemsize \
+        + 4 * nww * n * c * 4 \
+        + nww * n * pfac * n * 4 * 3
+    wbytes = 3 * c * c * jnp.dtype(cdt).itemsize
+    rows = max(1, min(nwh, max(1, (budget - wbytes)) // max(1, bytes_row)))
+    while nwh % rows:
+        rows -= 1
+    bt = 1
+    if rows == nwh:
+        bt = max(1, min(b, max(1, (budget - wbytes))
+                        // max(1, bytes_row * nwh)))
+        while b % bt:
+            bt -= 1
+
+    has_mask = mask is not None
+    if has_mask:
+        m = mask.reshape(nwh // rows, rows * nww, n, n).astype(jnp.float32)
+    else:
+        m = jnp.zeros((1, 1, 1, 1), jnp.float32)
+    groups = _packed_groups(num_heads, dh)
+    packed_biases = [
+        bias[h0:h0 + p].astype(jnp.float32).transpose(1, 0, 2).reshape(n, p * n)
+        for h0, p in groups]
+
+    kernel = functools.partial(
+        _swin_ln_kernel, ws=ws, nww=nww, rows=rows, bt=bt,
+        num_heads=num_heads, head_dim=dh, scale=float(scale),
+        has_mask=has_mask, eps=float(eps))
+    x5 = x.reshape(b, hh, ww_, 1, c)
+    const2 = lambda i, j: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bt, nwh // rows),
+        in_specs=[
+            pl.BlockSpec((bt, rows * ws, ww_, 1, c),
+                         lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows * nww, n, n) if has_mask else (1, 1, 1, 1),
+                         (lambda i, j: (j, 0, 0, 0)) if has_mask
+                         else (lambda i, j: (0, 0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((n, p * n), const2, memory_space=pltpu.VMEM)
+            for _, p in groups
+        ],
+        out_specs=pl.BlockSpec((bt, rows * ws, ww_, c),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hh, ww_, c), x.dtype),
+        interpret=interpret,
+    )(x5, ln_scale.astype(jnp.float32).reshape(1, c),
+      ln_bias.astype(jnp.float32).reshape(1, c),
+      wq, wk, wv, bq, bk, bv, m, *packed_biases)
 
 
 # ---------------------------------------------------------------------------
