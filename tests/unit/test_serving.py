@@ -1,0 +1,93 @@
+"""Serving engine: bucketing, padding correctness, request aggregation."""
+import threading
+
+import numpy as np
+import pytest
+
+from thyroid_tpu.serving import BatchAggregator, InferenceEngine
+
+MCFG = {"name": "resnet18", "img_size": 32, "in_channels": 1,
+        "num_classes": 2}
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return InferenceEngine(model_config=MCFG, buckets=(1, 4, 8),
+                           raw_inputs=False)
+
+
+@pytest.mark.unit
+class TestInferenceEngine:
+    def test_bucket_selection(self, engine):
+        assert engine.bucket_for(1) == 1
+        assert engine.bucket_for(2) == 4
+        assert engine.bucket_for(5) == 8
+        assert engine.bucket_for(8) == 8
+        assert engine.bucket_for(50) == 8  # chunked at predict level
+
+    def test_padding_does_not_change_results(self, engine):
+        rs = np.random.RandomState(0)
+        imgs = rs.rand(3, 32, 32, 1).astype(np.float32)
+        # 3 → bucket 4 (padded); compare against an exact-bucket call
+        probs3 = engine.predict(imgs)
+        probs4 = engine.predict(np.concatenate([imgs, imgs[:1]], axis=0))
+        np.testing.assert_allclose(probs3, probs4[:3], atol=1e-6)
+        assert probs3.shape == (3, 2)
+        np.testing.assert_allclose(probs3.sum(axis=-1), 1.0, atol=1e-5)
+
+    def test_large_request_chunks(self, engine):
+        rs = np.random.RandomState(1)
+        imgs = rs.rand(19, 32, 32, 1).astype(np.float32)   # 2×8 + 3→4
+        probs = engine.predict(imgs)
+        assert probs.shape == (19, 2)
+        # chunking must agree with one-by-one prediction
+        one = np.concatenate([engine.predict(imgs[i:i + 1])
+                              for i in range(3)])
+        np.testing.assert_allclose(probs[:3], one, atol=1e-6)
+
+    def test_raw_input_preprocess_path(self):
+        eng = InferenceEngine(model_config=MCFG, buckets=(2,),
+                              raw_inputs=True)
+        raw = (np.random.RandomState(2).rand(2, 64, 64, 1) * 65535) \
+            .astype(np.float32)
+        probs = eng.predict(raw)
+        assert probs.shape == (2, 2)
+        assert np.isfinite(probs).all()
+
+    def test_checkpoint_requires_config_or_metadata(self):
+        with pytest.raises(ValueError):
+            InferenceEngine()
+
+
+@pytest.mark.unit
+class TestBatchAggregator:
+    def test_coalesces_concurrent_requests(self, engine):
+        agg = BatchAggregator(engine, max_batch=8, max_delay_ms=50.0)
+        rs = np.random.RandomState(3)
+        imgs = [rs.rand(32, 32, 1).astype(np.float32) for _ in range(8)]
+        results = [None] * 8
+
+        def worker(i):
+            results[i] = agg.submit(imgs[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        agg.close()
+        direct = engine.predict(np.stack(imgs))
+        for i in range(8):
+            np.testing.assert_allclose(results[i], direct[i], atol=1e-6)
+        # 8 concurrent submits against max_batch=8 must not take 8 batches
+        assert agg.batches_dispatched <= 4
+        assert agg.requests_served == 8
+
+    def test_delay_dispatch_single_request(self, engine):
+        agg = BatchAggregator(engine, max_batch=8, max_delay_ms=5.0)
+        img = np.random.RandomState(4).rand(32, 32, 1).astype(np.float32)
+        probs = agg.submit(img)          # dispatches alone after ~5 ms
+        agg.close()
+        assert probs.shape == (2,)
+        np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)

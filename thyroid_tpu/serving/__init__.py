@@ -1,0 +1,7 @@
+"""Production serving for trained models (beyond the reference, which has
+no deployment path — SURVEY §2 lists none): static-shape bucketed batch
+inference with on-device preprocessing, plus a latency-bounded request
+aggregator for online serving."""
+from .engine import BatchAggregator, InferenceEngine
+
+__all__ = ["BatchAggregator", "InferenceEngine"]

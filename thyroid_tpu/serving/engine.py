@@ -1,0 +1,202 @@
+"""TPU-first inference serving.
+
+Design (no reference counterpart — the reference repo stops at analysis
+scripts; this is the deployment story for the same models):
+
+- **Static-shape bucketing.** XLA compiles one program per input shape, so
+  arbitrary request sizes would retrace constantly. The engine pre-declares
+  a ladder of batch buckets (default 1/8/32/128), pads every request up to
+  the smallest bucket that fits, and slices the padding off after. Each
+  bucket compiles once (lazily, or eagerly via `warmup()`).
+- **On-device preprocessing.** Requests carry RAW frames (e.g. 512×512
+  uint16-scale CARS microscopy); the same fused preprocess the training
+  pipeline uses (`data.pipeline.prepare_images` — resize + percentile
+  normalize [+ quality pipeline]) runs on device inside the serving
+  program, so the host never touches pixels beyond the initial transfer.
+- **Latency-bounded micro-batching.** `BatchAggregator` coalesces single
+  requests into bucket-sized batches, dispatching when either the largest
+  bucket fills or the oldest request has waited `max_delay_ms` — the
+  standard throughput/latency trade for accelerator serving.
+
+Checkpoints restore through training/checkpoint.py (Orbax), reusing the
+metadata["model_config"] the k-fold experiments store with every save.
+"""
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import create_and_init
+from ..models.registry import ModelRegistry, cfg_get
+from ..ops.image import standardize
+from ..data.pipeline import prepare_images
+
+
+DEFAULT_BUCKETS = (1, 8, 32, 128)
+
+
+class InferenceEngine:
+    """Bucketed batch inference over one model; thread-safe predict."""
+
+    def __init__(
+        self,
+        model_config: Optional[Any] = None,
+        variables: Optional[Dict[str, Any]] = None,
+        checkpoint: Optional[str] = None,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        quality: bool = False,
+        raw_inputs: bool = True,
+    ):
+        if checkpoint is not None:
+            from ..training.checkpoint import load_checkpoint
+
+            variables, metadata = load_checkpoint(checkpoint)
+            if model_config is None:
+                model_config = metadata.get("model_config")
+                if model_config is None:
+                    raise ValueError(
+                        f"checkpoint {checkpoint} has no model_config "
+                        "metadata; pass model_config explicitly")
+        if model_config is None:
+            raise ValueError("need model_config or checkpoint")
+        self.model_config = model_config
+        self.module = ModelRegistry.create_model(model_config)
+        if variables is None:
+            _, variables = create_and_init(model_config, jax.random.PRNGKey(0))
+        self.variables = jax.device_put(variables)
+        self.img_size = int(cfg_get(model_config, "img_size", 224))
+        self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+        self.quality = bool(quality)
+        self.raw_inputs = bool(raw_inputs)
+        self._fns: Dict[int, Callable] = {}
+        self._lock = threading.Lock()
+
+    # -- compiled program per bucket ------------------------------------
+    def _fn(self, bucket: int) -> Callable:
+        fn = self._fns.get(bucket)
+        if fn is not None:
+            return fn
+
+        def run(variables, x):
+            if self.raw_inputs:
+                x = prepare_images(x, self.img_size, quality=self.quality)
+            x = standardize(x, (0.5,), (0.5,))
+            out = self.module.apply(variables, x, train=False)
+            logits = out[0] if isinstance(out, tuple) else out
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        fn = jax.jit(run)
+        self._fns[bucket] = fn
+        return fn
+
+    def bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def warmup(self) -> None:
+        """Compile every bucket program up front (serving-ready)."""
+        side = 512 if self.raw_inputs else self.img_size
+        for b in self.buckets:
+            x = jnp.zeros((b, side, side, 1), jnp.float32)
+            jax.block_until_ready(self._fn(b)(self.variables, x))
+
+    def predict(self, images: np.ndarray) -> np.ndarray:
+        """images (N, S, S, 1) raw frames (or preprocessed if
+        raw_inputs=False) → (N, num_classes) probabilities. N may exceed
+        the largest bucket; it is chunked."""
+        images = np.asarray(images, np.float32)
+        if images.ndim == 3:
+            images = images[..., None]
+        n = images.shape[0]
+        top = self.buckets[-1]
+        outs: List[np.ndarray] = []
+        for start in range(0, n, top):
+            chunk = images[start:start + top]
+            m = chunk.shape[0]
+            b = self.bucket_for(m)
+            if m < b:
+                pad = np.repeat(chunk[-1:], b - m, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            with self._lock:
+                probs = self._fn(b)(self.variables, jnp.asarray(chunk))
+            outs.append(np.asarray(probs)[:m])
+        return np.concatenate(outs, axis=0)
+
+
+@dataclass
+class _Pending:
+    image: np.ndarray
+    t: float
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+
+
+class BatchAggregator:
+    """Coalesce single-image requests into bucket-sized engine calls.
+
+    Dispatch fires when `max_batch` requests are queued or the OLDEST
+    pending request has waited `max_delay_ms`. `submit()` blocks the
+    calling thread until its result is ready — the server front-end calls
+    it from one thread per connection."""
+
+    def __init__(self, engine: InferenceEngine, max_batch: Optional[int] = None,
+                 max_delay_ms: float = 10.0):
+        self.engine = engine
+        self.max_batch = int(max_batch or engine.buckets[-1])
+        self.max_delay = max_delay_ms / 1000.0
+        self._pending: List[_Pending] = []
+        self._cv = threading.Condition()
+        self._stop = False
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+        self.batches_dispatched = 0
+        self.requests_served = 0
+
+    def submit(self, image: np.ndarray, timeout: float = 30.0) -> np.ndarray:
+        req = _Pending(np.asarray(image, np.float32), time.monotonic())
+        with self._cv:
+            self._pending.append(req)
+            self._cv.notify()
+        if not req.event.wait(timeout):
+            raise TimeoutError("inference request timed out")
+        return req.result
+
+    def _loop(self) -> None:
+        while True:
+            with self._cv:
+                while not self._stop and not self._due_locked():
+                    self._cv.wait(timeout=self.max_delay / 4 or 0.01)
+                if self._stop and not self._pending:
+                    return
+                batch = self._pending[:self.max_batch]
+                self._pending = self._pending[len(batch):]
+            if not batch:
+                continue
+            images = np.stack([r.image for r in batch])
+            probs = self.engine.predict(images)
+            self.batches_dispatched += 1
+            self.requests_served += len(batch)
+            for r, p in zip(batch, probs):
+                r.result = p
+                r.event.set()
+
+    def _due_locked(self) -> bool:
+        if not self._pending:
+            return False
+        if len(self._pending) >= self.max_batch:
+            return True
+        return time.monotonic() - self._pending[0].t >= self.max_delay
+
+    def close(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._worker.join(timeout=5.0)
