@@ -64,7 +64,7 @@ def main():
         # warmup/compile
         state, mstate, s1 = trainer._train_step(
             trainer.state, mstate, images, labels, weights, rng, alpha)
-        jax.block_until_ready(s1)
+        np.asarray(s1)
         t0 = time.perf_counter()
         for i in range(n_steps):
             state, mstate, s1 = trainer._train_step(
@@ -72,7 +72,10 @@ def main():
                 jax.random.fold_in(rng, i), alpha)
             if sync:
                 float(mstate["loss_sum"])  # round-1 per-step host round-trip
-        jax.block_until_ready(s1)
+        # a VALUE readback, not block_until_ready: under the axon tunnel
+        # block_until_ready can resolve on the remote buffer handle before
+        # the compute chain drains, inflating async numbers ~10×
+        np.asarray(s1)
         dt = time.perf_counter() - t0
         trainer.state = state  # keep donation chain valid across runs
         return args.batch * n_steps / dt
