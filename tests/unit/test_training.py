@@ -286,6 +286,37 @@ class TestTrainerFit:
         assert m_scan["train_acc"] == pytest.approx(m_py["train_acc"],
                                                     abs=0.15)
 
+    def test_limit_val_batches(self, tmp_path):
+        """limit_val_batches=0.5 must evaluate only the first half of the
+        val batches (both the scan and the python eval paths)."""
+        tr, va = _make_pipelines()
+        mcfg = {"name": "resnet18", "img_size": 32, "in_channels": 1,
+                "num_classes": 2}
+        tcfg = {"epochs": 1, "batch_size": 8,
+                "optimizer_params": {"lr": 0.0},
+                "scheduler_params": None, "monitor_metric": "val_acc",
+                "monitor_mode": "max", "early_stopping_patience": 50}
+
+        def run(scan, limit):
+            trainer = Trainer(
+                ModelRegistry.create_model(mcfg), mcfg, tcfg,
+                {"max_epochs": 1, "enable_checkpointing": False,
+                 "scan_epoch": scan, "precision": "f32",
+                 "limit_val_batches": limit},
+                steps_per_epoch=tr.steps_per_epoch(),
+                output_dir=str(tmp_path / f"lvb_{scan}_{limit}"))
+            return trainer.eval_epoch(va)
+
+        full_scan = run(True, 1.0)
+        half_scan = run(True, 0.5)
+        half_py = run(False, 0.5)
+        # the two halved paths see identical data → identical metrics
+        for k in ("val_loss", "val_acc", "val_auc"):
+            assert half_scan[k] == pytest.approx(half_py[k], abs=1e-5), k
+        # and the halved eval is actually a different sample set
+        assert half_scan["val_loss"] != pytest.approx(full_scan["val_loss"],
+                                                      abs=1e-9)
+
     def test_checkpointing_and_test_restore(self, tmp_path):
         tr, va = _make_pipelines()
         mcfg = {"name": "resnet18", "img_size": 32, "in_channels": 1,

@@ -437,13 +437,18 @@ class Trainer:
         lbls: List = []
         wts: List = []
         variables = self.state.variables(use_ema=use_ema)
+        n_eval = pipeline.steps_per_epoch()
+        if self.cfg.limit_val_batches < 1.0:
+            n_eval = max(1, int(n_eval * self.cfg.limit_val_batches))
         if self.cfg.scan_epoch and hasattr(pipeline, "_make_batch"):
-            fn = self._scan_eval_fn(pipeline, pipeline.steps_per_epoch())
+            fn = self._scan_eval_fn(pipeline, n_eval)
             mstate, sc, lb, w = fn(variables, mstate)
             return finalize_metric_state(
                 mstate, [sc.reshape(-1)], [lb.reshape(-1)], [w.reshape(-1)],
                 prefix=prefix)
-        for batch in pipeline.epoch(jax.random.PRNGKey(0)):
+        for i, batch in enumerate(pipeline.epoch(jax.random.PRNGKey(0))):
+            if i >= n_eval:
+                break
             mstate, score1 = self._eval_step(variables, mstate, batch.image,
                                              batch.label, batch.weight)
             scores.append(score1)
