@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Serving latency/throughput benchmark for the InferenceEngine.
+
+Measures, per batch bucket: end-to-end predict latency p50/p90/p99 (host
+wall clock — includes the dispatch RPC on a tunneled TPU, which IS the
+serving latency a client would see) and the implied img/s. Also drives the
+BatchAggregator with concurrent single-image clients to report coalescing
+efficiency.
+
+TPU budget note (CLAUDE.md): one compiled program per bucket — keep the
+bucket list short (default 1 and 32).
+
+Usage: python scripts/bench_serving.py [--model swin_tiny] [--img 224]
+           [--raw-size 512] [--buckets 1 32] [--iters 20] [--clients 16]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def pct(xs, p):
+    return float(np.percentile(np.asarray(xs), p))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="swin_tiny")
+    ap.add_argument("--img", type=int, default=224)
+    ap.add_argument("--raw-size", type=int, default=512)
+    ap.add_argument("--buckets", type=int, nargs="*", default=[1, 32])
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--clients", type=int, default=16)
+    ap.add_argument("--max-delay-ms", type=float, default=10.0)
+    args = ap.parse_args()
+
+    from thyroid_tpu.serving import BatchAggregator, InferenceEngine
+
+    mcfg = {"name": args.model, "img_size": args.img, "in_channels": 1,
+            "num_classes": 2, "dtype": "bf16"}
+    engine = InferenceEngine(model_config=mcfg, buckets=args.buckets)
+    rs = np.random.RandomState(0)
+
+    report = {"model": args.model, "buckets": {}}
+    for b in args.buckets:
+        raw = (rs.rand(b, args.raw_size, args.raw_size, 1) * 65535) \
+            .astype(np.float32)
+        engine.predict(raw)                      # compile + warm
+        lat = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            engine.predict(raw)
+            lat.append(time.perf_counter() - t0)
+        report["buckets"][b] = {
+            "p50_ms": round(pct(lat, 50) * 1e3, 2),
+            "p90_ms": round(pct(lat, 90) * 1e3, 2),
+            "p99_ms": round(pct(lat, 99) * 1e3, 2),
+            "img_per_s": round(b / pct(lat, 50), 1),
+        }
+
+    # concurrent single-image clients through the aggregator (largest bucket)
+    agg = BatchAggregator(engine, max_batch=max(args.buckets),
+                          max_delay_ms=args.max_delay_ms)
+    imgs = [(rs.rand(args.raw_size, args.raw_size, 1) * 65535)
+            .astype(np.float32) for _ in range(args.clients)]
+    lats = [None] * args.clients
+    t_start = time.perf_counter()
+
+    def client(i):
+        t0 = time.perf_counter()
+        agg.submit(imgs[i], timeout=120)
+        lats[i] = time.perf_counter() - t0
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(args.clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+    agg.close()
+    report["aggregator"] = {
+        "clients": args.clients,
+        "batches_dispatched": agg.batches_dispatched,
+        "p50_ms": round(pct(lats, 50) * 1e3, 2),
+        "p99_ms": round(pct(lats, 99) * 1e3, 2),
+        "req_per_s": round(args.clients / wall, 1),
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
