@@ -58,6 +58,23 @@ class TestInferenceEngine:
         with pytest.raises(ValueError):
             InferenceEngine()
 
+    def test_three_channel_model_gets_rgb_and_imagenet_stats(self):
+        """Serving must reproduce the training-time gray→RGB + ImageNet
+        normalization branch for 3-channel (pretrained-style) models."""
+        from thyroid_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+        eng = InferenceEngine(
+            model_config={"name": "resnet18", "img_size": 32,
+                          "in_channels": 3, "num_classes": 2},
+            buckets=(2,), raw_inputs=False)
+        assert eng.mean == tuple(IMAGENET_MEAN)
+        assert eng.std == tuple(IMAGENET_STD)
+        gray = np.random.RandomState(5).rand(2, 32, 32, 1) \
+            .astype(np.float32)
+        probs = eng.predict(gray)           # 1-channel input, 3-channel net
+        assert probs.shape == (2, 2)
+        assert np.isfinite(probs).all()
+
 
 @pytest.mark.unit
 class TestBatchAggregator:
@@ -83,6 +100,20 @@ class TestBatchAggregator:
         # 8 concurrent submits against max_batch=8 must not take 8 batches
         assert agg.batches_dispatched <= 4
         assert agg.requests_served == 8
+
+    def test_bad_request_does_not_kill_the_worker(self, engine):
+        """A failing batch must surface to ITS callers and leave the
+        aggregator alive for subsequent requests."""
+        agg = BatchAggregator(engine, max_batch=8, max_delay_ms=5.0)
+        good = np.random.RandomState(6).rand(32, 32, 1).astype(np.float32)
+        with pytest.raises(ValueError):
+            agg.submit(np.zeros((2, 32, 32, 1), np.float32))  # not one image
+        agg.submit(good)                      # sets the aggregator shape
+        with pytest.raises(ValueError):
+            agg.submit(np.zeros((16, 16, 1), np.float32))     # mismatch
+        probs = agg.submit(good)              # still alive
+        agg.close()
+        assert probs.shape == (2,)
 
     def test_delay_dispatch_single_request(self, engine):
         agg = BatchAggregator(engine, max_batch=8, max_delay_ms=5.0)

@@ -561,9 +561,9 @@ def build_swin(cfg: Any) -> SwinTransformer:
     if use_pallas is None:
         # the fused kernel beats XLA on TPU (docs/DESIGN.md round-2 numbers);
         # elsewhere it would run interpreted, so default by platform
-        dev = jax.devices()[0]
-        use_pallas = "tpu" in \
-            f"{dev.platform} {getattr(dev, 'device_kind', '')}".lower()
+        from ...ops.tpu_platform import is_tpu
+
+        use_pallas = is_tpu()
     return SwinTransformer(
         img_size=int(cfg_get(cfg, "img_size", img)),
         patch_size=int(cfg_get(cfg, "patch_size", 4)),

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .tpu_platform import is_tpu
+
 NEG_INF = -1e9
 
 
@@ -68,12 +70,8 @@ def fused_window_attention(
     mask: (nW, N, N) additive shift mask or None (BW % nW == 0).
     → (BW, H, N, D)."""
     if interpret is None:
-        # compiled Mosaic kernels need a TPU; elsewhere run interpreted.
-        # (The TPU plugin here registers as platform 'axon' with device kind
-        # 'TPU v5 lite', so match the device kind too.)
-        dev = jax.devices()[0]
-        blob = f"{dev.platform} {getattr(dev, 'device_kind', '')}".lower()
-        interpret = "tpu" not in blob
+        # compiled Mosaic kernels need a TPU; elsewhere run interpreted
+        interpret = not is_tpu()
     bw, h, n, d = q.shape
     if scale is None:
         scale = d ** -0.5
@@ -288,6 +286,11 @@ def _fused_swin_fwd_call(
         rows_per_step = max(1, min(nwh, budget // max(1, bytes_row)))
         while nwh % rows_per_step:
             rows_per_step -= 1
+    elif nwh % rows_per_step:
+        # a non-divisor would silently leave the trailing window rows of the
+        # output buffer unwritten (the grid floor-divides)
+        raise ValueError(
+            f"rows_per_step={rows_per_step} must divide nwh={nwh}")
     r = rows_per_step
     # small late stages (few windows per image): pack multiple images per
     # grid step so the packed matmuls see enough windows to fill the MXU
@@ -412,9 +415,7 @@ def fused_swin_ln_attention(
     → (B, H, W, C) attention output (pre out-proj). No autodiff — the
     training path keeps the qkv-input kernel's custom_vjp."""
     if interpret is None:
-        dev = jax.devices()[0]
-        blob = f"{dev.platform} {getattr(dev, 'device_kind', '')}".lower()
-        interpret = "tpu" not in blob
+        interpret = not is_tpu()
     b, hh, ww_, c = x.shape
     ws = window_size
     dh = c // num_heads
@@ -748,9 +749,7 @@ def fused_swin_attention(
     Pallas path serves TRAINING as well as eval. Passing an explicit
     rows_per_step selects the raw forward-only call (kernel tiling tests)."""
     if interpret is None:
-        dev = jax.devices()[0]
-        blob = f"{dev.platform} {getattr(dev, 'device_kind', '')}".lower()
-        interpret = "tpu" not in blob
+        interpret = not is_tpu()
     if scale is None:
         scale = (qkv.shape[-1] // num_heads) ** -0.5
     if rows_per_step is not None:

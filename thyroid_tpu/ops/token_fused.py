@@ -28,11 +28,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .tpu_platform import is_tpu
 
-def _is_tpu() -> bool:
-    dev = jax.devices()[0]
-    blob = f"{dev.platform} {getattr(dev, 'device_kind', '')}".lower()
-    return "tpu" in blob
+
 
 
 def _erf(x):
@@ -102,7 +100,7 @@ def fused_ln_matmul(
     """x (..., C) → LN(x) @ w + b with LN fused into the matmul's VMEM pass.
     Leading dims are flattened to tokens (a bitcast) and restored."""
     if interpret is None:
-        interpret = not _is_tpu()
+        interpret = not is_tpu()
     *lead, c = x.shape
     out_dim = w.shape[1]
     t = 1
@@ -196,7 +194,7 @@ def fused_ln_mlp_residual(
     sequential grid axis with an f32 accumulator in scratch; the residual
     read rides the same x block the LN uses."""
     if interpret is None:
-        interpret = not _is_tpu()
+        interpret = not is_tpu()
     *lead, c = x.shape
     hdim = w1.shape[1]
     t = 1

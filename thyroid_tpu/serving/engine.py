@@ -52,6 +52,8 @@ class InferenceEngine:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         quality: bool = False,
         raw_inputs: bool = True,
+        mean: Optional[Sequence[float]] = None,
+        std: Optional[Sequence[float]] = None,
     ):
         if checkpoint is not None:
             from ..training.checkpoint import load_checkpoint
@@ -71,9 +73,21 @@ class InferenceEngine:
             _, variables = create_and_init(model_config, jax.random.PRNGKey(0))
         self.variables = jax.device_put(variables)
         self.img_size = int(cfg_get(model_config, "img_size", 224))
+        self.in_channels = int(cfg_get(model_config, "in_channels", 1))
         self.buckets = tuple(sorted(set(int(b) for b in buckets)))
         self.quality = bool(quality)
         self.raw_inputs = bool(raw_inputs)
+        # normalization must match training: 3-channel models were trained
+        # on the gray→RGB + ImageNet-stats branch (data/pipeline.py:200),
+        # 1-channel on (0.5, 0.5); overridable for non-default dataset stats
+        if mean is None or std is None:
+            if self.in_channels == 3:
+                from ..data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+                mean, std = IMAGENET_MEAN, IMAGENET_STD
+            else:
+                mean, std = (0.5,), (0.5,)
+        self.mean, self.std = tuple(mean), tuple(std)
         self._fns: Dict[int, Callable] = {}
         self._lock = threading.Lock()
 
@@ -86,7 +100,9 @@ class InferenceEngine:
         def run(variables, x):
             if self.raw_inputs:
                 x = prepare_images(x, self.img_size, quality=self.quality)
-            x = standardize(x, (0.5,), (0.5,))
+            if self.in_channels == 3 and x.shape[-1] == 1:
+                x = jnp.repeat(x, 3, axis=-1)     # gray→RGB, as in training
+            x = standardize(x, self.mean, self.std)
             out = self.module.apply(variables, x, train=False)
             logits = out[0] if isinstance(out, tuple) else out
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -137,6 +153,7 @@ class _Pending:
     t: float
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
+    error: Optional[Exception] = None
 
 
 class BatchAggregator:
@@ -153,6 +170,7 @@ class BatchAggregator:
         self.max_batch = int(max_batch or engine.buckets[-1])
         self.max_delay = max_delay_ms / 1000.0
         self._pending: List[_Pending] = []
+        self._shape = None
         self._cv = threading.Condition()
         self._stop = False
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -161,12 +179,27 @@ class BatchAggregator:
         self.requests_served = 0
 
     def submit(self, image: np.ndarray, timeout: float = 30.0) -> np.ndarray:
-        req = _Pending(np.asarray(image, np.float32), time.monotonic())
+        image = np.asarray(image, np.float32)
+        if image.ndim == 2:
+            image = image[..., None]
+        if image.ndim != 3:
+            raise ValueError(f"expected one (S, S[, C]) image, got "
+                             f"shape {image.shape}")
         with self._cv:
+            if self._shape is None:
+                self._shape = image.shape
+            elif image.shape != self._shape:
+                # all coalesced requests must stack — reject early instead
+                # of poisoning a whole batch
+                raise ValueError(f"image shape {image.shape} != aggregator "
+                                 f"shape {self._shape}")
+            req = _Pending(image, time.monotonic())
             self._pending.append(req)
             self._cv.notify()
         if not req.event.wait(timeout):
             raise TimeoutError("inference request timed out")
+        if req.error is not None:
+            raise RuntimeError(f"batched inference failed: {req.error}")
         return req.result
 
     def _loop(self) -> None:
@@ -180,13 +213,20 @@ class BatchAggregator:
                 self._pending = self._pending[len(batch):]
             if not batch:
                 continue
-            images = np.stack([r.image for r in batch])
-            probs = self.engine.predict(images)
-            self.batches_dispatched += 1
-            self.requests_served += len(batch)
-            for r, p in zip(batch, probs):
-                r.result = p
-                r.event.set()
+            # one bad request must not kill the worker thread: a dead loop
+            # would strand every queued and future submit() in TimeoutError
+            try:
+                images = np.stack([r.image for r in batch])
+                probs = self.engine.predict(images)
+                self.batches_dispatched += 1
+                self.requests_served += len(batch)
+                for r, p in zip(batch, probs):
+                    r.result = p
+                    r.event.set()
+            except Exception as exc:  # propagate to the waiting callers
+                for r in batch:
+                    r.error = exc
+                    r.event.set()
 
     def _due_locked(self) -> bool:
         if not self._pending:

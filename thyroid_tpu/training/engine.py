@@ -28,7 +28,7 @@ from ..utils.observe import MetricLogger, StepTimer
 from .checkpoint import BestCheckpointManager
 from ..ops.augment import mixup_cutmix
 from .losses import (
-    cross_entropy, deit_dual_loss, distillation_loss, mixed_cross_entropy,
+    cross_entropy, distillation_loss, mixed_cross_entropy,
     progressive_alpha,
 )
 from .metrics import (
@@ -55,6 +55,7 @@ class TrainerConfig:
     check_val_every_n_epoch: int = 1
     limit_train_batches: float = 1.0
     limit_val_batches: float = 1.0
+    limit_test_batches: float = 1.0
     enable_checkpointing: bool = True
     deterministic: bool = True
     mesh_shape: Optional[Dict[str, int]] = None
@@ -404,13 +405,18 @@ class Trainer:
         wts: List = []
         alpha = jnp.float32(self._alpha_for_epoch(epoch))
         limit = self.cfg.limit_train_batches
-        max_batches = pipeline.steps_per_epoch() if limit >= 1.0 else \
+        full_batches = pipeline.steps_per_epoch() if limit >= 1.0 else \
             max(1, int(pipeline.steps_per_epoch() * limit))
+        max_batches = full_batches
         if 0 < self.cfg.max_steps:
             max_batches = min(max_batches,
                               self.cfg.max_steps - self._global_step)
+        # scan only for the steady-state epoch length: a max_steps-truncated
+        # final epoch would key a NEW whole-epoch program (1-5 min remote
+        # compile here) just to run a few steps — the per-step path below
+        # reuses the already-shaped _train_step for any truncation
         if self.cfg.scan_epoch and hasattr(pipeline, "_make_batch") \
-                and max_batches > 0:
+                and max_batches == full_batches and max_batches > 0:
             fn = self._scan_train_fn(pipeline, max_batches)
             self.state, mstate, sc, lb = fn(self.state, mstate, rng, alpha)
             self._global_step += max_batches
@@ -431,15 +437,18 @@ class Trainer:
         return finalize_metric_state(mstate, scores, lbls, wts, prefix="train_")
 
     def eval_epoch(self, pipeline, prefix: str = "val_",
-                   use_ema: bool = False) -> Dict[str, float]:
+                   use_ema: bool = False,
+                   limit_fraction: Optional[float] = None) -> Dict[str, float]:
         mstate = zero_metric_state()
         scores: List = []
         lbls: List = []
         wts: List = []
         variables = self.state.variables(use_ema=use_ema)
         n_eval = pipeline.steps_per_epoch()
-        if self.cfg.limit_val_batches < 1.0:
-            n_eval = max(1, int(n_eval * self.cfg.limit_val_batches))
+        if limit_fraction is None:
+            limit_fraction = self.cfg.limit_val_batches
+        if limit_fraction < 1.0:
+            n_eval = max(1, int(n_eval * limit_fraction))
         if self.cfg.scan_epoch and hasattr(pipeline, "_make_batch"):
             fn = self._scan_eval_fn(pipeline, n_eval)
             mstate, sc, lb, w = fn(variables, mstate)
@@ -611,4 +620,7 @@ class Trainer:
             self.state = self.state.replace(
                 params=variables["params"],
                 batch_stats=variables.get("batch_stats"))
-        return self.eval_epoch(pipeline, prefix=prefix)
+        # test metrics are never silently truncated by the VAL limit —
+        # Lightning semantics keep a separate limit_test_batches knob
+        return self.eval_epoch(pipeline, prefix=prefix,
+                               limit_fraction=self.cfg.limit_test_batches)
