@@ -62,6 +62,26 @@ class TestKFoldExperiment:
         data = json.loads(summary[0].read_text())
         assert data["total_folds"] == 2
 
+    def test_slice_partitioned_run_and_merge(self, tmp_path):
+        """Multi-slice scale-out: two slice processes each run their fold
+        subset; merging their summaries reproduces a full-sweep aggregate."""
+        from thyroid_tpu.parallel import merge_slice_summaries
+
+        summaries = []
+        for idx in range(2):
+            cfg = _exp_config(tmp_path, folds=3)
+            cfg.merge({"kfold": {"num_slices": 2, "slice_index": idx}})
+            exp = KFoldExperiment(cfg)
+            exp.execute()
+            path = (tmp_path / "out" / "resnet18" /
+                    f"kfold_summary_test_exp_slice{idx}.json")
+            assert path.exists()
+            summaries.append(path)
+        merged = merge_slice_summaries(summaries)
+        assert merged["num_successful_folds"] == 3
+        assert [r["fold"] for r in merged["raw_fold_results"]] == [1, 2, 3]
+        assert "avg_test_acc" in merged
+
     def test_failed_fold_recorded_and_sweep_continues(self, tmp_path, monkeypatch):
         exp = KFoldExperiment(_exp_config(tmp_path))
         original = exp.run_fold

@@ -1,6 +1,8 @@
 """SPMD data-parallel tests on the 8-virtual-CPU-device mesh — the
 TPU-specific tier the reference lacks (SURVEY §4 implication).
 """
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -157,6 +159,98 @@ class TestFSDPTraining:
         for k in ("train_loss", "val_loss", "val_acc"):
             assert res_fsdp.history[-1][k] == pytest.approx(
                 res_repl.history[-1][k], abs=2e-2), k
+
+
+@pytest.mark.unit
+class TestMultiSlice:
+    """SURVEY §2.8 DCN story: folds partition across slices; training
+    collectives stay inside a slice ('data'/ICI); cross-slice aggregation is
+    a host-side summary merge."""
+
+    def test_partition_folds_round_robin(self):
+        from thyroid_tpu.parallel import partition_folds
+
+        parts = [partition_folds(7, 3, i) for i in range(3)]
+        assert parts == [[1, 4, 7], [2, 5], [3, 6]]
+        # disjoint and complete
+        flat = sorted(f for p in parts for f in p)
+        assert flat == list(range(1, 8))
+        with pytest.raises(ValueError):
+            partition_folds(5, 2, 2)
+
+    def test_merge_slice_summaries_matches_single_run(self, tmp_path):
+        from thyroid_tpu.parallel import merge_slice_summaries
+
+        folds = [{"fold": f, "test_acc": 0.8 + 0.02 * f,
+                  "test_loss": 0.5 - 0.01 * f} for f in range(1, 5)]
+        folds.append({"fold": 5, "error": "boom"})
+        s0 = {"raw_fold_results": [folds[0], folds[2], folds[4]],
+              "total_folds": 3, "experiment_name": "e", "model_name": "m"}
+        s1 = {"raw_fold_results": [folds[1], folds[3]], "total_folds": 2}
+        p = tmp_path / "s1.json"
+        p.write_text(json.dumps(s1))
+        merged = merge_slice_summaries([s0, p])
+        assert merged["num_successful_folds"] == 4
+        assert merged["total_folds"] == 5
+        accs = [f["test_acc"] for f in folds if "error" not in f]
+        assert merged["avg_test_acc"] == pytest.approx(np.mean(accs))
+        assert merged["std_test_acc"] == pytest.approx(np.std(accs))
+        assert [r["fold"] for r in merged["raw_fold_results"]] == [1, 2, 3, 4, 5]
+        assert merged["model_name"] == "m"
+
+    def test_multislice_mesh_shape(self):
+        from thyroid_tpu.parallel import multislice_mesh
+
+        mesh = multislice_mesh(2)
+        assert mesh.shape == {"slice": 2, "data": 4}
+        with pytest.raises(ValueError):
+            multislice_mesh(3)  # 8 % 3 != 0
+
+    def test_stacked_step_matches_per_fold(self):
+        """One jitted program trains 2 folds at once, one per slice; each
+        fold's numbers must match its independently-run single-fold step."""
+        from thyroid_tpu.parallel import (
+            multislice_mesh, stack_pytrees, stacked_step, unstack_pytree,
+        )
+
+        def step(state, batch):
+            def loss_fn(w):
+                logits = batch["x"] @ w
+                logp = jax.nn.log_softmax(logits)
+                nll = -jnp.take_along_axis(
+                    logp, batch["y"][:, None], axis=1).mean()
+                return nll
+
+            loss, g = jax.value_and_grad(loss_fn)(state["w"])
+            return {"w": state["w"] - 0.1 * g}, {"loss": loss}
+
+        rng = np.random.RandomState(0)
+        folds = []
+        for _ in range(2):
+            folds.append((
+                {"w": rng.randn(16, 2).astype(np.float32)},
+                {"x": rng.randn(8, 16).astype(np.float32),
+                 "y": rng.randint(0, 2, size=(8,)).astype(np.int32)},
+            ))
+        # reference: each fold stepped alone
+        want = [jax.jit(step)(s, b) for s, b in folds]
+
+        mesh = multislice_mesh(2)
+        fn = stacked_step(step, mesh, donate=False)
+        st = stack_pytrees([f[0] for f in folds])
+        bt = stack_pytrees([f[1] for f in folds])
+        new_state, metrics = fn(st, bt)
+        got_states = unstack_pytree(new_state, 2)
+        got_metrics = unstack_pytree(metrics, 2)
+        for i in range(2):
+            np.testing.assert_allclose(got_states[i]["w"], want[i][0]["w"],
+                                       atol=1e-5)
+            np.testing.assert_allclose(got_metrics[i]["loss"],
+                                       want[i][1]["loss"], atol=1e-5)
+        # fold state is pinned to its slice row, not replicated everywhere
+        assert len(new_state["w"].sharding.device_set) == 8
+        spec = new_state["w"].sharding.spec
+        assert "slice" in str(spec)
 
 
 @pytest.mark.integration

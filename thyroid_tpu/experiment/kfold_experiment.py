@@ -51,6 +51,11 @@ class KFoldExperiment(BaseExperiment):
             cfg_get(config, "training", {})
         self.distillation_config = cfg_get(config, "distillation", None)
         self.num_folds = int(cfg_get(self.kfold_config, "num_folds", 5))
+        # multi-slice scale-out: each slice process runs its round-robin fold
+        # subset; per-slice summaries merge via parallel.multislice (SURVEY
+        # §2.8 — folds are independent, DCN carries no training traffic)
+        self.num_slices = int(cfg_get(self.kfold_config, "num_slices", 1))
+        self.slice_index = int(cfg_get(self.kfold_config, "slice_index", 0))
 
     # ------------------------------------------------------------------
     def setup(self) -> None:
@@ -143,7 +148,15 @@ class KFoldExperiment(BaseExperiment):
         return result
 
     def run(self) -> Dict[str, Any]:
-        for fold in range(1, self.num_folds + 1):
+        folds = range(1, self.num_folds + 1)
+        if self.num_slices > 1:
+            from ..parallel.multislice import partition_folds
+
+            folds = partition_folds(self.num_folds, self.num_slices,
+                                    self.slice_index)
+            logger.info("slice %d/%d runs folds %s", self.slice_index,
+                        self.num_slices, list(folds))
+        for fold in folds:
             logger.info("===== fold %d/%d =====", fold, self.num_folds)
             try:
                 self.fold_results.append(self.run_fold(fold))
@@ -197,7 +210,11 @@ class KFoldExperiment(BaseExperiment):
                     num_parameters(variables)
             except Exception:
                 self.aggregated_results["student_param_count"] = "N/A"
-        path = self.output_dir / f"kfold_summary_{prefix}.json"
+        suffix = f"_slice{self.slice_index}" if self.num_slices > 1 else ""
+        if suffix:
+            self.aggregated_results["slice_index"] = self.slice_index
+            self.aggregated_results["num_slices"] = self.num_slices
+        path = self.output_dir / f"kfold_summary_{prefix}{suffix}.json"
         with open(path, "w") as f:
             json.dump(self.aggregated_results, f, indent=4, default=str)
         logger.info("k-fold summary written to %s", path)
