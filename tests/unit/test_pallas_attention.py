@@ -110,6 +110,45 @@ class TestFusedSwinAttention:
     def test_row_tiling(self):
         self._case(2, 16, 16, 96, 3, 4, 0, rows=1)
 
+    def _proj_case(self, B, H, W, C, heads, ws, shift):
+        """proj+residual epilogue variant vs the decomposed XLA math."""
+        from thyroid_tpu.models.vit.swin import (
+            shift_attention_mask, window_partition, window_reverse)
+        from thyroid_tpu.ops.attention import fused_swin_block_attention
+
+        n, dh = ws * ws, C // heads
+        qkv = jnp.asarray(RS.randn(B, H, W, 3, C).astype(np.float32))
+        xres = jnp.asarray(RS.randn(B, H, W, C).astype(np.float32))
+        wp = jnp.asarray((RS.randn(C, C) * 0.05).astype(np.float32))
+        bp = jnp.asarray((RS.randn(C) * 0.1).astype(np.float32))
+        bias = jnp.asarray((RS.randn(heads, n, n) * 0.1).astype(np.float32))
+        mask = shift_attention_mask(H, W, ws, shift)
+        mask_j = jnp.asarray(mask) if mask is not None else None
+        got = fused_swin_block_attention(qkv, xres, wp, bp, bias, mask_j,
+                                         window_size=ws, num_heads=heads,
+                                         interpret=True)
+
+        def part(t):
+            return window_partition(t, ws).reshape(
+                -1, n, heads, dh).transpose(0, 2, 1, 3)
+
+        ref = window_attention_reference(part(qkv[:, :, :, 0]),
+                                         part(qkv[:, :, :, 1]),
+                                         part(qkv[:, :, :, 2]), bias, mask_j)
+        ref = window_reverse(ref.transpose(0, 2, 1, 3).reshape(-1, n, C),
+                             ws, H, W)
+        ref = xres + (ref @ wp + bp)
+        assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 1e-4
+
+    def test_proj_residual_epilogue(self):
+        self._proj_case(2, 16, 16, 96, 3, 4, 0)
+
+    def test_proj_residual_epilogue_shifted_multigroup(self):
+        self._proj_case(2, 14, 14, 384, 12, 7, 3)
+
+    def test_proj_residual_epilogue_batch_packed(self):
+        self._proj_case(6, 7, 7, 768, 24, 7, 0)
+
     def _grad_case(self, B, H, W, C, heads, ws, shift):
         """custom_vjp backward kernel vs XLA autodiff of the same math."""
         from thyroid_tpu.models.vit.swin import (

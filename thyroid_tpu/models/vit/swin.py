@@ -167,8 +167,8 @@ class WindowAttention(nn.Module):
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
                  deterministic: bool = True, capture: bool = False,
                  spatial: bool = False,
-                 ln: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
-                 ) -> jnp.ndarray:
+                 ln: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                 fuse_residual: bool = False) -> jnp.ndarray:
         ws = self.window_size
         c = x.shape[-1]
         head_dim = c // self.num_heads
@@ -217,6 +217,20 @@ class WindowAttention(nn.Module):
 
                     qkv = fused_ln_matmul(x, ln[0], ln[1], qkv_kernel,
                                           qkv_b).reshape(b, hh, ww_, 3, c)
+                    if fuse_residual and not self.quality_guided:
+                        # serving: out-proj + residual as the attention
+                        # kernel's epilogue — returns the half-block's
+                        # residual STREAM x + proj(attn), not the raw
+                        # attention output (ops/attention.py
+                        # fused_swin_block_attention; dropout/DropPath are
+                        # identities at eval, so this is exact)
+                        from ...ops.attention import fused_swin_block_attention
+
+                        wp, bp = _DenseParams(c, c, True, name="proj")()
+                        return fused_swin_block_attention(
+                            qkv, x, wp, bp, bias_hnn, mask=mask,
+                            window_size=ws, num_heads=self.num_heads,
+                            scale=scale).astype(self.dtype)
                 else:
                     xn = manual_layer_norm(x, ln[0], ln[1], self.dtype) \
                         if ln is not None else x
@@ -330,9 +344,13 @@ class SwinBlock(nn.Module):
         fused = self.use_pallas and not capture \
             and not self.contrast_adaptive \
             and (deterministic or self.attn_drop_rate == 0.0)
+        # serving: proj + residual ride the attention kernel's epilogue, so
+        # the attn call returns the half-block's residual stream directly
+        # (must mirror WindowAttention's own fuse_residual predicate)
+        proj_fused = fused and deterministic and not self.quality_guided
         if fused:
             x = attn(x, mask=mask, deterministic=deterministic, spatial=True,
-                     ln=(g_ln, b_ln))
+                     ln=(g_ln, b_ln), fuse_residual=proj_fused)
         else:
             xn = manual_layer_norm(x, g_ln, b_ln, self.dtype)
             windows = window_partition(xn, ws)
@@ -342,7 +360,9 @@ class SwinBlock(nn.Module):
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
         x = x.reshape(b, l, c)
-        x = shortcut + DropPath(self.drop_path_rate)(x, deterministic=deterministic)
+        if not proj_fused:
+            x = shortcut + DropPath(self.drop_path_rate)(
+                x, deterministic=deterministic)
 
         g2, b2_ln = _LNParams(c, name="norm2")()
         w1, b1, w2, b2 = _MlpParams(c, int(c * self.mlp_ratio), name="mlp")()

@@ -258,6 +258,48 @@ def _swin_kernel(qkv_ref, mask_ref, *rest, ws: int, nww: int,
     _window_reverse_store(o, o_ref, ws=ws, nww=nww, rows=rows, bt=bt, c=c)
 
 
+def _swin_proj_kernel(qkv_ref, xres_ref, wp_ref, bp_ref, mask_ref, *rest,
+                      ws: int, nww: int, rows: int, bt: int, num_heads: int,
+                      head_dim: int, scale: float, has_mask: bool):
+    """_swin_kernel + out-projection + residual epilogue (serving path):
+    the attention output never reaches HBM pre-proj — the kernel emits the
+    BLOCK's residual stream x + proj(W-MSA(qkv)) directly, eliminating the
+    separate proj matmul and residual-add HBM round-trips."""
+    groups = _packed_groups(num_heads, head_dim)
+    bias_refs, o_ref = rest[:len(groups)], rest[len(groups)]
+    n = ws * ws
+    c = num_heads * head_dim
+    x = qkv_ref[:]                                   # (BT, R·ws, W, 3, C)
+    dt = jnp.float32
+    rw = bt * rows * nww
+    x = x.reshape(bt, rows, ws, nww, ws, 3, c).astype(dt)
+    x = x.transpose(0, 1, 3, 2, 4, 5, 6).reshape(rw, n, 3, c)
+    q = x[:, :, 0, :] * jnp.asarray(scale, dt)
+    k = x[:, :, 1, :]
+    v = x[:, :, 2, :]
+    o = _packed_attention_core(q, k, v, mask_ref, bias_refs, ws=ws, nww=nww,
+                               rows=rows, bt=bt, num_heads=num_heads,
+                               head_dim=head_dim, has_mask=has_mask)
+    # out-proj on the window-layout tokens; cast to the weight dtype first —
+    # same rounding as the XLA Dense. UNROLLED over the leading window-row
+    # dim: a single (RW·N, C) matmul would need a (RW, N, C)→(RW·N, C)
+    # flatten, which merges a leading dim into the N=49 sublane dim — an
+    # unsupported Mosaic shape cast (49 is not tile-aligned). Each 2D
+    # (N, C)·(C, C) matmul is tile-legal; proj FLOPs are negligible next to
+    # the attention core, so MXU underfill here is irrelevant.
+    oc = o.astype(wp_ref.dtype)
+    wp = wp_ref[:]
+    ys = [jax.lax.dot_general(oc[i], wp, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+          for i in range(rw)]
+    y = (ys[0][None] if rw == 1 else jnp.stack(ys, axis=0)) \
+        + bp_ref[:][None].astype(dt)
+    # window reverse, then the residual add rides the already-loaded block
+    y = y.reshape(bt, rows, nww, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(bt, rows * ws, nww * ws, c)
+    o_ref[:] = (xres_ref[:].astype(dt) + y).astype(o_ref.dtype)
+
+
 def _fused_swin_fwd_call(
     qkv: jnp.ndarray,
     bias: jnp.ndarray,
@@ -268,8 +310,13 @@ def _fused_swin_fwd_call(
     scale: float,
     rows_per_step: Optional[int] = None,
     interpret: bool = False,
+    residual: Optional[jnp.ndarray] = None,
+    proj_kernel: Optional[jnp.ndarray] = None,
+    proj_bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Raw forward pallas_call (no autodiff) — see fused_swin_attention."""
+    """Raw forward pallas_call (no autodiff) — see fused_swin_attention.
+    With residual/proj_kernel given, the proj+residual epilogue variant
+    (_swin_proj_kernel) emits x + proj(attn) directly."""
     b, hh, ww_, three, c = qkv.shape
     ws = window_size
     dh = c // num_heads
@@ -277,11 +324,17 @@ def _fused_swin_fwd_call(
     nwh, nww = hh // ws, ww_ // ws
     if scale is None:
         scale = dh ** -0.5
+    has_proj = proj_kernel is not None
 
     # fit qkv block + per-group scratch comfortably in VMEM
     budget = 3 * 1024 * 1024
+    if has_proj:
+        budget -= c * c * jnp.dtype(qkv.dtype).itemsize
     bytes_row = ws * ww_ * 3 * c * qkv.dtype.itemsize \
         + nww * n * (max(1, 128 // dh)) * n * 4 * 3
+    if has_proj:
+        # xres block + its f32 temporary
+        bytes_row += ws * ww_ * c * (qkv.dtype.itemsize + 4)
     if rows_per_step is None:
         rows_per_step = max(1, min(nwh, budget // max(1, bytes_row)))
         while nwh % rows_per_step:
@@ -315,28 +368,56 @@ def _fused_swin_fwd_call(
         bias[h0:h0 + p].astype(jnp.float32).transpose(1, 0, 2).reshape(n, p * n)
         for h0, p in groups]
 
+    mask_spec = pl.BlockSpec((1, rw, n, n) if has_mask else (1, 1, 1, 1),
+                             (lambda i, j: (j, 0, 0, 0)) if has_mask
+                             else (lambda i, j: (0, 0, 0, 0)),
+                             memory_space=pltpu.VMEM)
+    bias_specs = [
+        pl.BlockSpec((n, p * n), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for _, p in groups
+    ]
+    qkv_spec = pl.BlockSpec((bt, r * ws, ww_, 3, c),
+                            lambda i, j: (i, j, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bt, r * ws, ww_, c), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, hh, ww_, c), qkv.dtype)
+
+    if has_proj:
+        kernel = functools.partial(
+            _swin_proj_kernel, ws=ws, nww=nww, rows=r, bt=bt,
+            num_heads=num_heads, head_dim=dh, scale=scale, has_mask=has_mask)
+        bp = (proj_bias if proj_bias is not None
+              else jnp.zeros((c,), jnp.float32)) \
+            .astype(jnp.float32).reshape(1, c)
+        return pl.pallas_call(
+            kernel,
+            grid=(b // bt, nwh // r),
+            in_specs=[
+                qkv_spec,
+                out_spec,  # xres rides the same block layout as the output
+                pl.BlockSpec((c, c), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                mask_spec,
+            ] + bias_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(qkv, residual, proj_kernel.astype(qkv.dtype), bp, m,
+          *packed_biases)
+
     kernel = functools.partial(
         _swin_kernel, ws=ws, nww=nww, rows=r, bt=bt, num_heads=num_heads,
         head_dim=dh, scale=scale, has_mask=has_mask)
     return pl.pallas_call(
         kernel,
         grid=(b // bt, nwh // r),
-        in_specs=[
-            pl.BlockSpec((bt, r * ws, ww_, 3, c), lambda i, j: (i, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rw, n, n) if has_mask else (1, 1, 1, 1),
-                         (lambda i, j: (j, 0, 0, 0)) if has_mask
-                         else (lambda i, j: (0, 0, 0, 0)),
-                         memory_space=pltpu.VMEM),
-        ] + [
-            pl.BlockSpec((n, p * n), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM)
-            for _, p in groups
-        ],
-        out_specs=pl.BlockSpec((bt, r * ws, ww_, c),
-                               lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hh, ww_, c), qkv.dtype),
+        in_specs=[qkv_spec, mask_spec] + bias_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(qkv, m, *packed_biases)
 
@@ -758,6 +839,43 @@ def fused_swin_attention(
             scale=scale, rows_per_step=rows_per_step, interpret=interpret)
     return _swin_attn_ad(qkv, bias, mask, window_size, num_heads,
                          float(scale), bool(interpret))
+
+
+def fused_swin_block_attention(
+    qkv: jnp.ndarray,
+    residual: jnp.ndarray,
+    proj_kernel: jnp.ndarray,
+    proj_bias: Optional[jnp.ndarray],
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    *,
+    window_size: int,
+    num_heads: int,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Serving fast path (forward-only): the full attention half-block —
+    W-MSA + out-projection + residual — in one kernel.
+
+        out = residual + proj(window_reverse(W-MSA(partition(qkv))))
+
+    qkv: (B, H, W, 3, C) (already LN'd + projected, rolled if shifted);
+    residual: (B, H, W, C) — the pre-LN stream in the SAME (rolled) frame,
+    so the caller's roll⁻¹ applies to the summed stream (roll commutes with
+    the pointwise add); proj_kernel (C, C), proj_bias (C,) or None.
+    → (B, H, W, C) residual stream after the attention half-block.
+
+    vs fused_swin_attention + XLA proj + add: the pre-proj attention tensor,
+    the proj output, and both residual-add operands never make an HBM round
+    trip. No autodiff — training uses fused_swin_attention's custom_vjp."""
+    if interpret is None:
+        interpret = not is_tpu()
+    if scale is None:
+        scale = (qkv.shape[-1] // num_heads) ** -0.5
+    return _fused_swin_fwd_call(
+        qkv, bias, mask, window_size=window_size, num_heads=num_heads,
+        scale=float(scale), interpret=bool(interpret), residual=residual,
+        proj_kernel=proj_kernel, proj_bias=proj_bias)
 
 
 def window_attention_reference(
