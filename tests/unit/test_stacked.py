@@ -1,0 +1,111 @@
+"""Fold-stacked k-fold training (training/stacked.py): one vmapped program
+must reproduce the sequential per-fold sweep."""
+import jax
+import numpy as np
+import pytest
+
+from thyroid_tpu.data import DevicePipeline, generate_corpus_arrays
+from thyroid_tpu.models import ModelRegistry
+from thyroid_tpu.training import Trainer
+from thyroid_tpu.training.stacked import StackedKFoldTrainer, StackedShapeError
+
+MCFG = {"name": "resnet18", "img_size": 32, "in_channels": 1,
+        "num_classes": 2}
+TCFG = {"epochs": 2, "batch_size": 8, "optimizer_params": {"lr": 1e-3},
+        "scheduler_params": None, "monitor_metric": "val_acc",
+        "monitor_mode": "max", "early_stopping_patience": 50}
+TRAINER_CFG = {"max_epochs": 2, "enable_checkpointing": False,
+               "deterministic": True, "precision": "f32"}
+
+
+def _fold_data(seed):
+    imgs, labels = generate_corpus_arrays(n_images=24, size=64)
+    order = np.random.RandomState(seed).permutation(24)
+    return imgs[order], labels[order]
+
+
+def _pipes(imgs, labels, train):
+    return DevicePipeline(imgs, labels, batch_size=8, img_size=32,
+                          train=train, augmentation_level="none")
+
+
+@pytest.mark.integration
+class TestStackedKFold:
+    def _folds(self, n=2, n_train=16):
+        folds = []
+        for f in range(n):
+            imgs, labels = _fold_data(f + 1)
+            folds.append({
+                "train": _pipes(imgs[:n_train], labels[:n_train], True),
+                "val": _pipes(imgs[n_train:], labels[n_train:], False),
+            })
+        return folds
+
+    def test_stacked_matches_sequential(self):
+        folds = self._folds()
+        sequential = []
+        for fd in folds:
+            tr = Trainer(ModelRegistry.create_model(MCFG), MCFG, TCFG,
+                         TRAINER_CFG,
+                         steps_per_epoch=fd["train"].steps_per_epoch(),
+                         output_dir="/tmp/stacked_seq")
+            res = tr.fit(fd["train"], fd["val"])
+            sequential.append(res.history[-1])
+
+        st = StackedKFoldTrainer(
+            MCFG, TCFG, TRAINER_CFG,
+            [fd["train"] for fd in folds], [fd["val"] for fd in folds],
+            output_dir="/tmp/stacked_st")
+        results = st.fit()
+        assert len(results) == 2
+        for seq, got in zip(sequential, results):
+            last = got["history"][-1]
+            # same seeds, same data, same program modulo vmap — f32 keeps
+            # the trajectories together; BN batch stats amplify tiny
+            # reassociation drift over steps, hence the loose-ish band
+            assert last["train_loss"] == pytest.approx(
+                seq["train_loss"], abs=2e-2)
+            assert last["val_loss"] == pytest.approx(seq["val_loss"],
+                                                     abs=5e-2)
+            assert last["val_acc"] == pytest.approx(seq["val_acc"], abs=0.13)
+
+    def test_unequal_fold_shapes_raise(self):
+        folds = self._folds()
+        imgs, labels = _fold_data(9)
+        folds[1]["train"] = _pipes(imgs[:12], labels[:12], True)
+        with pytest.raises(StackedShapeError):
+            StackedKFoldTrainer(
+                MCFG, TCFG, TRAINER_CFG,
+                [fd["train"] for fd in folds], [fd["val"] for fd in folds],
+                output_dir="/tmp/stacked_bad")
+
+    def test_stacked_on_slice_mesh(self):
+        """Fold axis sharded over 'slice' on the virtual mesh: same numbers,
+        fold state pinned per slice (SURVEY §2.8 multi-slice mode)."""
+        from thyroid_tpu.parallel.multislice import multislice_mesh
+
+        folds = self._folds()
+        st = StackedKFoldTrainer(
+            MCFG, TCFG, TRAINER_CFG,
+            [fd["train"] for fd in folds], [fd["val"] for fd in folds],
+            output_dir="/tmp/stacked_mesh", mesh=multislice_mesh(2))
+        results = st.fit()
+        assert len(results) == 2
+        for r in results:
+            assert np.isfinite(r["history"][-1]["train_loss"])
+
+
+@pytest.mark.integration
+class TestStackedExperiment:
+    def test_kfold_stacked_end_to_end(self, tmp_path):
+        from tests.unit.test_experiment import _exp_config
+        from thyroid_tpu.experiment import KFoldExperiment
+
+        cfg = _exp_config(tmp_path)
+        cfg.merge({"kfold": {"stacked": True}})
+        exp = KFoldExperiment(cfg)
+        results = exp.execute()
+        assert results["num_successful_folds"] == 2
+        assert "avg_test_acc" in results
+        assert all(r.get("stacked") for r in results["raw_fold_results"]
+                   if "error" not in r)

@@ -116,8 +116,13 @@ class DevicePipeline:
         self._batch_fn = jax.jit(self._make_batch, static_argnames=("augment",))
 
     # -- per-step batch materialisation -----------------------------------
-    def _make_batch(self, idx: jnp.ndarray, key: jax.Array, augment: bool) -> jnp.ndarray:
-        x = jnp.take(self.cache, idx, axis=0)
+    def _make_batch(self, idx: jnp.ndarray, key: jax.Array, augment: bool,
+                    cache: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Materialise one batch from the HBM-resident cache. `cache`
+        overrides self.cache so the stacked k-fold trainer can vmap this
+        over a fold-stacked cache while reusing the exact same augmentation
+        and normalisation program (training/stacked.py)."""
+        x = jnp.take(self.cache if cache is None else cache, idx, axis=0)
         if augment and self.augmentation_level != "none":
             if self.augment_mode == "vit":
                 x = vit_augment(x, key, **self.vit_aug_params)

@@ -147,6 +147,34 @@ class KFoldExperiment(BaseExperiment):
             result["best_checkpoint"] = str(fit.best_checkpoint)
         return result
 
+    def run_stacked(self, folds) -> None:
+        """All folds in ONE jitted program (training/stacked.py): states and
+        data gain a fold axis and the scan-epoch step is vmapped over it —
+        the TPU-native alternative to the reference's sequential fold loop."""
+        t0 = time.time()
+        pipes = [self._build_pipelines(f) for f in folds]
+        teacher_fn = None
+        if self.distillation_config and \
+                cfg_get(self.distillation_config, "enabled", True):
+            teacher_fn = create_teacher_from_config(self.distillation_config)
+        from ..training.stacked import StackedKFoldTrainer
+
+        st = StackedKFoldTrainer(
+            self.model_config, self.training_config, self.trainer_config,
+            [p["train"] for p in pipes], [p["val"] for p in pipes],
+            [p["test"] for p in pipes],
+            output_dir=self.output_dir / "stacked",
+            teacher_fn=teacher_fn,
+            distillation_config=self.distillation_config,
+        )
+        results = st.fit()
+        wall = time.time() - t0
+        for f, r in zip(folds, results):
+            row = {"fold": f,
+                   **{k: v for k, v in r.items() if k != "history"}}
+            row["train_time_s"] = wall / max(1, len(folds))
+            self.fold_results.append(row)
+
     def run(self) -> Dict[str, Any]:
         folds = range(1, self.num_folds + 1)
         if self.num_slices > 1:
@@ -156,6 +184,16 @@ class KFoldExperiment(BaseExperiment):
                                     self.slice_index)
             logger.info("slice %d/%d runs folds %s", self.slice_index,
                         self.num_slices, list(folds))
+        if cfg_get(self.kfold_config, "stacked", False):
+            from ..training.stacked import StackedShapeError
+
+            try:
+                self.run_stacked(list(folds))
+                self.aggregate_results()
+                return self.aggregated_results
+            except StackedShapeError as e:
+                logger.warning("stacked k-fold unavailable (%s); falling "
+                               "back to the sequential sweep", e)
         for fold in folds:
             logger.info("===== fold %d/%d =====", fold, self.num_folds)
             try:
