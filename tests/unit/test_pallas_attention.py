@@ -270,8 +270,11 @@ class TestFusedSwinAttention:
             want.transpose(0, 2, 1, 3).reshape(-1, n, C), ws, 4, 4)
         assert np.abs(np.asarray(got) - np.asarray(want)).max() < 2e-5
 
-    def test_model_train_grads_fused_equals_xla(self):
-        """swin param grads identical with the Pallas train path on/off."""
+    @pytest.mark.parametrize("token_kernels", [False, True])
+    def test_model_train_grads_fused_equals_xla(self, token_kernels):
+        """swin param grads identical with the Pallas train path on/off —
+        both without and with the opt-in LN+QKV / LN+MLP training kernels
+        (train_token_kernels; custom_vjp in ops/token_fused.py)."""
         from thyroid_tpu.models import ModelRegistry
 
         params = {"patch_size": 4, "embed_dim": 32, "depths": [1, 1],
@@ -284,6 +287,7 @@ class TestFusedSwinAttention:
             m = ModelRegistry.create_model(
                 {"name": "swin_tiny", "img_size": 32, "in_channels": 1,
                  "num_classes": 2, "use_pallas_attention": up,
+                 "train_token_kernels": up and token_kernels,
                  "params": params})
             v = m.init({"params": jax.random.PRNGKey(0),
                         "dropout": jax.random.PRNGKey(1)},

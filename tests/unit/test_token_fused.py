@@ -60,3 +60,89 @@ class TestFusedLnMlpResidual:
         # hidden 1024 > the 512 chunk → exercises the sequential-grid
         # f32 accumulator across n_hc = 2 chunks
         self._case((2, 64), 128, 1024)
+
+
+def _ln_ref(x, g, b):
+    return manual_layer_norm(x, g, b, jnp.float32)
+
+
+@pytest.mark.unit
+class TestFusedGradients:
+    """custom_vjp backward kernels vs jax.grad of the XLA reference."""
+
+    def _cmp_grads(self, got, want, names, tol=2e-4):
+        for gg, ww, nm in zip(got, want, names):
+            gg, ww = np.asarray(gg), np.asarray(ww)
+            scale = max(1.0, np.abs(ww).max())
+            assert np.abs(gg - ww).max() / scale < tol, \
+                f"grad mismatch for {nm}: {np.abs(gg - ww).max()}"
+
+    def test_ln_matmul_grads(self):
+        lead, c, out_dim = (2, 24), 96, 288
+        x = jnp.asarray(RS.randn(*lead, c).astype(np.float32))
+        g = jnp.asarray((1 + 0.1 * RS.randn(c)).astype(np.float32))
+        b = jnp.asarray((0.1 * RS.randn(c)).astype(np.float32))
+        w = jnp.asarray((RS.randn(c, out_dim) / np.sqrt(c))
+                        .astype(np.float32))
+        wb = jnp.asarray((0.1 * RS.randn(out_dim)).astype(np.float32))
+        cot = jnp.asarray(RS.randn(*lead, out_dim).astype(np.float32))
+
+        def loss_kernel(x, g, b, w, wb):
+            return (fused_ln_matmul(x, g, b, w, wb, interpret=True)
+                    * cot).sum()
+
+        def loss_ref(x, g, b, w, wb):
+            return ((_ln_ref(x, g, b) @ w + wb) * cot).sum()
+
+        got = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(x, g, b, w, wb)
+        want = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, g, b, w, wb)
+        self._cmp_grads(got, want, ["x", "gamma", "beta", "w", "wb"])
+
+    @pytest.mark.parametrize("residual,hidden", [(True, 384), (False, 384),
+                                                 (False, 1024)])
+    def test_ln_mlp_grads(self, residual, hidden):
+        from thyroid_tpu.ops.token_fused import fused_ln_mlp
+
+        lead, c = (2, 16), 128
+        x = jnp.asarray(RS.randn(*lead, c).astype(np.float32))
+        g = jnp.asarray((1 + 0.1 * RS.randn(c)).astype(np.float32))
+        b = jnp.asarray((0.1 * RS.randn(c)).astype(np.float32))
+        w1 = jnp.asarray((RS.randn(c, hidden) / np.sqrt(c))
+                         .astype(np.float32))
+        b1 = jnp.asarray((0.1 * RS.randn(hidden)).astype(np.float32))
+        w2 = jnp.asarray((RS.randn(hidden, c) / np.sqrt(hidden))
+                         .astype(np.float32))
+        b2 = jnp.asarray((0.1 * RS.randn(c)).astype(np.float32))
+        cot = jnp.asarray(RS.randn(*lead, c).astype(np.float32))
+        fn = fused_ln_mlp_residual if residual else fused_ln_mlp
+
+        def loss_kernel(x, g, b, w1, b1, w2, b2):
+            return (fn(x, g, b, w1, b1, w2, b2, interpret=True) * cot).sum()
+
+        def loss_ref(x, g, b, w1, b1, w2, b2):
+            y = jax.nn.gelu(_ln_ref(x, g, b) @ w1 + b1, approximate=False)
+            y = y @ w2 + b2
+            if residual:
+                y = x + y
+            return (y * cot).sum()
+
+        args = (x, g, b, w1, b1, w2, b2)
+        got = jax.grad(loss_kernel, argnums=tuple(range(7)))(*args)
+        want = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+        self._cmp_grads(got, want,
+                        ["x", "gamma", "beta", "w1", "b1", "w2", "b2"])
+
+    def test_fused_ln_mlp_forward_no_residual(self):
+        from thyroid_tpu.ops.token_fused import fused_ln_mlp
+
+        x = jnp.asarray(RS.randn(2, 8, 96).astype(np.float32))
+        g = jnp.ones((96,), jnp.float32)
+        b = jnp.zeros((96,), jnp.float32)
+        w1 = jnp.asarray((RS.randn(96, 384) / 10).astype(np.float32))
+        b1 = jnp.zeros((384,), jnp.float32)
+        w2 = jnp.asarray((RS.randn(384, 96) / 20).astype(np.float32))
+        b2 = jnp.zeros((96,), jnp.float32)
+        got = fused_ln_mlp(x, g, b, w1, b1, w2, b2, interpret=True)
+        want = jax.nn.gelu(_ln_ref(x, g, b) @ w1 + b1,
+                           approximate=False) @ w2 + b2
+        assert np.abs(np.asarray(got) - np.asarray(want)).max() < 2e-5

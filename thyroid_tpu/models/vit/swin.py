@@ -154,6 +154,7 @@ class WindowAttention(nn.Module):
     contrast_adaptive: bool = False
     quality_guided: bool = False
     use_pallas: bool = False
+    train_token_kernels: bool = False
     # LN+QKV-fusing kernel variant: MEASURED SLOWER than the qkv-input
     # kernel on v5e (1.9k vs 3.1k img/s swin_tiny end-to-end) — the (1, C)
     # trailing-dim input tiles each (1, 96) row into an (8, 128) VMEM tile
@@ -231,6 +232,19 @@ class WindowAttention(nn.Module):
                             qkv, x, wp, bp, bias_hnn, mask=mask,
                             window_size=ws, num_heads=self.num_heads,
                             scale=scale).astype(self.dtype)
+                elif self.train_token_kernels and ln is not None:
+                    # OPT-IN training variant: the same LN+QKV kernel via
+                    # its custom_vjp (backward recomputes LN stats in VMEM).
+                    # MEASURED 3% SLOWER than XLA on v5e swin_tiny B=128
+                    # (1153 vs 1187 img/s) — the thin C=96 contraction
+                    # underfills the MXU and the bwd re-reads x/dy that
+                    # XLA's fused LN-bwd chain already has in registers.
+                    # Kept for parity testing and larger-C models.
+                    from ...ops.token_fused import fused_ln_matmul
+
+                    qkv = fused_ln_matmul(
+                        x.astype(self.dtype), ln[0], ln[1], qkv_kernel,
+                        qkv_b).reshape(b, hh, ww_, 3, c)
                 else:
                     xn = manual_layer_norm(x, ln[0], ln[1], self.dtype) \
                         if ln is not None else x
@@ -306,6 +320,7 @@ class SwinBlock(nn.Module):
     contrast_adaptive: bool = False
     quality_guided: bool = False
     use_pallas: bool = False
+    train_token_kernels: bool = False
     softmax_dtype: Dtype = jnp.float32
     dtype: Dtype = jnp.float32
 
@@ -334,6 +349,7 @@ class SwinBlock(nn.Module):
             contrast_adaptive=self.contrast_adaptive,
             quality_guided=self.quality_guided,
             use_pallas=self.use_pallas,
+            train_token_kernels=self.train_token_kernels,
             softmax_dtype=self.softmax_dtype,
             dtype=self.dtype, name="attn",
         )
@@ -366,13 +382,29 @@ class SwinBlock(nn.Module):
 
         g2, b2_ln = _LNParams(c, name="norm2")()
         w1, b1, w2, b2 = _MlpParams(c, int(c * self.mlp_ratio), name="mlp")()
-        if self.use_pallas and deterministic and not capture:
+        mlp_kernel = self.use_pallas and not capture
+        if mlp_kernel and deterministic:
             # serving: norm2 + fc1 + gelu + fc2 + residual in ONE kernel —
             # the 4C hidden tensor never touches HBM (ops/token_fused.py).
             # Dropout/DropPath are identities at eval, so this is exact.
             from ...ops.token_fused import fused_ln_mlp_residual
 
             return fused_ln_mlp_residual(x, g2, b2_ln, w1, b1, w2, b2)
+        if mlp_kernel and self.train_token_kernels and self.drop_rate == 0.0:
+            # OPT-IN training variant: same kernel minus the residual
+            # (custom_vjp backward recomputes LN + the 4C hidden in VMEM);
+            # DropPath and the skip stay outside. MEASURED 11% SLOWER than
+            # XLA on v5e swin_tiny B=128 (1031 vs 1187 img/s with both
+            # token kernels on): the MLP is FLOP-bound at mlp_ratio 4 —
+            # AI ≈ 76 flops/byte before any fusion — so the flash-style
+            # double recompute (dX and dW kernels each rebuild h) costs
+            # more than the hidden tensor's HBM round-trip it saves.
+            # Negative result recorded in docs/DESIGN.md; default off.
+            from ...ops.token_fused import fused_ln_mlp
+
+            y = fused_ln_mlp(x, g2, b2_ln, w1, b1, w2, b2)
+            return x + DropPath(self.drop_path_rate)(
+                y, deterministic=deterministic)
         y = manual_layer_norm(x, g2, b2_ln, self.dtype)
         # Mlp numerics from the raw params (nn.Dense promotion + exact gelu)
         y = y.astype(self.dtype) @ w1.astype(self.dtype) \
@@ -434,6 +466,7 @@ class SwinStage(nn.Module):
     quality_guided: bool = False
     quality_aware_merge: bool = False
     use_pallas: bool = False
+    train_token_kernels: bool = False
     softmax_dtype: Dtype = jnp.float32
     remat: bool = False
     dtype: Dtype = jnp.float32
@@ -456,6 +489,7 @@ class SwinStage(nn.Module):
                 contrast_adaptive=self.contrast_adaptive,
                 quality_guided=self.quality_guided,
                 use_pallas=self.use_pallas,
+                train_token_kernels=self.train_token_kernels,
                 softmax_dtype=self.softmax_dtype,
                 dtype=self.dtype, name=f"block_{i}",
             )(x, deterministic, capture)
@@ -490,6 +524,7 @@ class SwinTransformer(nn.Module):
     quality_guided: bool = False
     uncertainty_head: bool = False
     use_pallas_attention: bool = False
+    train_token_kernels: bool = False
     softmax_dtype: Dtype = jnp.float32
     remat: bool = False
     dtype: Dtype = jnp.float32
@@ -536,6 +571,7 @@ class SwinTransformer(nn.Module):
                 quality_guided=qg,
                 quality_aware_merge=self.medical_adaptations,
                 use_pallas=self.use_pallas_attention,
+                train_token_kernels=self.train_token_kernels,
                 softmax_dtype=self.softmax_dtype,
                 remat=self.remat,
                 dtype=self.dtype,
