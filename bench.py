@@ -33,6 +33,10 @@ def main() -> None:
     p.add_argument("--quality", action="store_true",
                    help="include the full quality-aware pipeline")
     p.add_argument("--dtype", default="bf16")
+    p.add_argument("--quant", default=None, choices=["int8"],
+                   help="serve Dense/Conv contractions in int8 (PTQ, "
+                        "serving/quantize.py); off by default — the "
+                        "headline number stays the exact bf16 model")
     args = p.parse_args()
 
     import jax
@@ -56,10 +60,18 @@ def main() -> None:
     # the chip; a production serving loop keeps dispatch off the step path the
     # same way. A tiny per-iteration carry perturbs the input so no iteration
     # can be CSE'd away.
+    def apply_model(variables, x):
+        if args.quant == "int8":
+            from thyroid_tpu.serving.quantize import int8_serving
+
+            with int8_serving():
+                return model.apply(variables, x, train=False)
+        return model.apply(variables, x, train=False)
+
     def one_step(variables, raw):
         x = prepare_images(raw, args.img_size, quality=args.quality)
         x = standardize(x, (0.5,), (0.5,))
-        out = model.apply(variables, x, train=False)
+        out = apply_model(variables, x)
         return out[0] if isinstance(out, tuple) else out
 
     @jax.jit
@@ -86,9 +98,10 @@ def main() -> None:
     dt = float(np.median(times))
 
     imgs_per_sec = args.batch_size * args.iters / dt
+    tag = args.dtype if args.quant is None else f"{args.dtype}+{args.quant}"
     print(json.dumps({
         "metric": f"preprocess+infer {args.img_size}x{args.img_size} "
-                  f"images/sec/chip ({args.model}, {args.dtype})",
+                  f"images/sec/chip ({args.model}, {tag})",
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / 10000.0, 4),

@@ -91,6 +91,9 @@ def main() -> None:
     p.add_argument("--preprocessed", action="store_true",
                    help="inputs are already resized+normalized")
     p.add_argument("--max-delay-ms", type=float, default=10.0)
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="serve Dense/Conv contractions in int8 PTQ "
+                        "(serving/quantize.py)")
     p.add_argument("--no-warmup", action="store_true")
     args = p.parse_args()
 
@@ -104,7 +107,8 @@ def main() -> None:
             mcfg["img_size"] = args.img_size
     engine = InferenceEngine(model_config=mcfg, checkpoint=args.checkpoint,
                              buckets=args.buckets, quality=args.quality,
-                             raw_inputs=not args.preprocessed)
+                             raw_inputs=not args.preprocessed,
+                             quantize=args.quantize)
     if not args.no_warmup:
         print("warming up bucket programs...", flush=True)
         engine.warmup()

@@ -3,5 +3,7 @@ no deployment path — SURVEY §2 lists none): static-shape bucketed batch
 inference with on-device preprocessing, plus a latency-bounded request
 aggregator for online serving."""
 from .engine import BatchAggregator, InferenceEngine
+from .quantize import QuantConfig, int8_serving, quantized_apply
 
-__all__ = ["BatchAggregator", "InferenceEngine"]
+__all__ = ["BatchAggregator", "InferenceEngine", "QuantConfig",
+           "int8_serving", "quantized_apply"]

@@ -54,6 +54,7 @@ class InferenceEngine:
         raw_inputs: bool = True,
         mean: Optional[Sequence[float]] = None,
         std: Optional[Sequence[float]] = None,
+        quantize: Optional[str] = None,
     ):
         if checkpoint is not None:
             from ..training.checkpoint import load_checkpoint
@@ -88,6 +89,9 @@ class InferenceEngine:
             else:
                 mean, std = (0.5,), (0.5,)
         self.mean, self.std = tuple(mean), tuple(std)
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+        self.quantize = quantize
         self._fns: Dict[int, Callable] = {}
         self._lock = threading.Lock()
 
@@ -103,7 +107,15 @@ class InferenceEngine:
             if self.in_channels == 3 and x.shape[-1] == 1:
                 x = jnp.repeat(x, 3, axis=-1)     # gray→RGB, as in training
             x = standardize(x, self.mean, self.std)
-            out = self.module.apply(variables, x, train=False)
+            if self.quantize == "int8":
+                # PTQ serving path (serving/quantize.py) — the `with` wraps
+                # TRACING, so the interceptor rewrites the traced program
+                from .quantize import int8_serving
+
+                with int8_serving():
+                    out = self.module.apply(variables, x, train=False)
+            else:
+                out = self.module.apply(variables, x, train=False)
             logits = out[0] if isinstance(out, tuple) else out
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
