@@ -17,6 +17,7 @@ Used by models.vit.swin.WindowAttention when `use_pallas_attention` is set;
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -31,6 +32,23 @@ NEG_INF = -1e9
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _fwd_compiler_params(n_grid_dims: int, fuse_inputs: tuple) -> "pltpu.CompilerParams":
+    """Shared Mosaic params for the FORWARD kernels: every grid dimension
+    writes disjoint output blocks and carries no cross-step state, so the
+    grid is declared `parallel` (lets Mosaic reorder/pipeline steps freely).
+    `fuse_inputs` marks the big streaming operands whose blocks are visited
+    once — XLA may fuse their producers (roll / pad / relayout copies)
+    straight into the kernel's input DMA instead of materializing them in
+    HBM. Weights/biases/masks stay unfused (their blocks are re-read every
+    step; a fused producer would be recomputed each time). Backward kernels
+    are NOT eligible: they accumulate dbias across grid steps and need the
+    default sequential semantics."""
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel",) * n_grid_dims,
+        allow_input_fusion=fuse_inputs,
+    )
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
@@ -127,6 +145,8 @@ def fused_window_attention(
         out_specs=pl.BlockSpec((tw, h, np_, dp), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bw, h, np_, dp), q.dtype),
+        compiler_params=_fwd_compiler_params(
+            1, (True, True, True, False, True)),
         interpret=interpret,
     )(qp, kp, vp, biasp, m)
     return out[:, :, :n, :d]
@@ -326,8 +346,11 @@ def _fused_swin_fwd_call(
         scale = dh ** -0.5
     has_proj = proj_kernel is not None
 
-    # fit qkv block + per-group scratch comfortably in VMEM
-    budget = 3 * 1024 * 1024
+    # fit qkv block + per-group scratch comfortably in VMEM. Tunable for
+    # perf probes: bigger blocks → fewer grid steps / larger DMA bursts,
+    # at the cost of VMEM pressure (Mosaic errors out if it doesn't fit).
+    budget = int(float(os.environ.get("THYROID_ATTN_VMEM_MB", "3"))
+                 * 1024 * 1024)
     if has_proj:
         budget -= c * c * jnp.dtype(qkv.dtype).itemsize
     bytes_row = ws * ww_ * 3 * c * qkv.dtype.itemsize \
@@ -405,6 +428,9 @@ def _fused_swin_fwd_call(
             ] + bias_specs,
             out_specs=out_spec,
             out_shape=out_shape,
+            compiler_params=_fwd_compiler_params(
+                2, (True, True, False, False, False)
+                + (False,) * len(groups)),
             interpret=interpret,
         )(qkv, residual, proj_kernel.astype(qkv.dtype), bp, m,
           *packed_biases)
@@ -418,6 +444,8 @@ def _fused_swin_fwd_call(
         in_specs=[qkv_spec, mask_spec] + bias_specs,
         out_specs=out_spec,
         out_shape=out_shape,
+        compiler_params=_fwd_compiler_params(
+            2, (True, False) + (False,) * len(groups)),
         interpret=interpret,
     )(qkv, m, *packed_biases)
 
@@ -576,6 +604,8 @@ def fused_swin_ln_attention(
                                lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hh, ww_, c), x.dtype),
+        compiler_params=_fwd_compiler_params(
+            2, (True,) + (False,) * (9 + len(groups))),
         interpret=interpret,
     )(x5, ln_scale.astype(jnp.float32).reshape(1, c),
       ln_bias.astype(jnp.float32).reshape(1, c),

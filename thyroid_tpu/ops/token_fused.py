@@ -158,6 +158,11 @@ def _ln_matmul_fwd_call(x2, g, b, w, wb, *, eps: float, interpret: bool):
         out_specs=pl.BlockSpec((tb, out_dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, out_dim), cdt),
+        # token-block grid is stateless → parallel; x2's producer (the
+        # shifted block's roll / layout copy) may fuse into the input DMA
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            allow_input_fusion=(True, False, False, False, False)),
         interpret=interpret,
     )(x2, g.astype(jnp.float32).reshape(1, c),
       b.astype(jnp.float32).reshape(1, c), w.astype(cdt),
@@ -354,6 +359,11 @@ def _ln_mlp_fwd_call(x2, g, b, w1, b1, w2, b2, *, residual: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, c), cdt),
         scratch_shapes=[pltpu.VMEM((tb, c), jnp.float32)],
+        # token dim parallel; hidden-chunk dim SEQUENTIAL (the scratch
+        # accumulator carries partial fc2 sums across chunks)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            allow_input_fusion=(True,) + (False,) * 6),
         interpret=interpret,
     )(x2, g.astype(jnp.float32).reshape(1, c),
       b.astype(jnp.float32).reshape(1, c),
