@@ -146,3 +146,48 @@ class TestFusedGradients:
         want = jax.nn.gelu(_ln_ref(x, g, b) @ w1 + b1,
                            approximate=False) @ w2 + b2
         assert np.abs(np.asarray(got) - np.asarray(want)).max() < 2e-5
+
+
+@pytest.mark.unit
+class TestVitBlockTokenKernels:
+    """Model-level: the plain-ViT/DeiT serving fast path (Block.token_kernels)
+    matches the standard XLA path and creates an identical param tree."""
+
+    def _model_pair(self, cls, **kw):
+        m_std = cls(token_kernels=False, **kw)
+        m_fus = cls(token_kernels=True, **kw)
+        return m_std, m_fus
+
+    @pytest.mark.parametrize("family", ["vit", "deit"])
+    def test_fused_matches_standard_and_same_tree(self, family):
+        if family == "vit":
+            from thyroid_tpu.models.vit.vit import VisionTransformer as cls
+        else:
+            from thyroid_tpu.models.vit.deit import DeiT as cls
+        kw = dict(img_size=32, patch_size=8, in_channels=1, num_classes=2,
+                  embed_dim=64, depth=2, num_heads=2, drop_path_rate=0.0)
+        m_std, m_fus = self._model_pair(cls, **kw)
+        x = jnp.asarray(RS.randn(2, 32, 32, 1).astype(np.float32))
+        v_std = m_std.init(jax.random.PRNGKey(0), x, train=False)
+        v_fus = m_fus.init(jax.random.PRNGKey(0), x, train=False)
+        # identical tree: same names, shapes — checkpoints interchange
+        t1 = jax.tree.map(lambda a: (a.shape, a.dtype), v_std["params"])
+        t2 = jax.tree.map(lambda a: (a.shape, a.dtype), v_fus["params"])
+        assert t1 == t2
+        y_std = m_std.apply(v_std, x, train=False)
+        y_fus = m_fus.apply(v_std, x, train=False)  # SAME params, fused path
+        out_std = np.asarray(jax.tree.leaves(y_std)[0])
+        out_fus = np.asarray(jax.tree.leaves(y_fus)[0])
+        assert np.abs(out_std - out_fus).max() < 2e-4
+
+    def test_train_path_unaffected_by_flag(self):
+        from thyroid_tpu.models.vit.vit import VisionTransformer as cls
+        kw = dict(img_size=32, patch_size=8, in_channels=1, num_classes=2,
+                  embed_dim=64, depth=1, num_heads=2, drop_path_rate=0.0)
+        m_std, m_fus = self._model_pair(cls, **kw)
+        x = jnp.asarray(RS.randn(2, 32, 32, 1).astype(np.float32))
+        v = m_std.init(jax.random.PRNGKey(0), x, train=False)
+        rngs = {"dropout": jax.random.PRNGKey(1)}
+        y1 = m_std.apply(v, x, train=True, rngs=rngs)
+        y2 = m_fus.apply(v, x, train=True, rngs=rngs)
+        assert np.allclose(np.asarray(y1), np.asarray(y2))

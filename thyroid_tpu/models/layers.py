@@ -20,6 +20,51 @@ Dtype = Any
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
 
 
+class LNParams(nn.Module):
+    """LayerNorm parameters WITHOUT the computation — fused serving kernels
+    compute LN in VMEM, so the caller only needs (scale, bias). Named like
+    the nn.LayerNorm it replaces, this creates the exact same param tree
+    (checkpoints and the torch importer are unaffected)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class DenseParams(nn.Module):
+    """nn.Dense-compatible parameters (kernel/bias, same names and inits)
+    exposed raw so fused kernels can consume them directly."""
+
+    in_dim: int
+    out_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", trunc_normal_init,
+                            (self.in_dim, self.out_dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,)) \
+            if self.use_bias else None
+        return kernel, bias
+
+
+class MlpParams(nn.Module):
+    """Mlp-compatible parameter tree (Dense_0, Dense_1) exposed raw for the
+    fused LN+MLP serving kernel (ops/token_fused.py)."""
+
+    in_dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = DenseParams(self.in_dim, self.hidden, name="Dense_0")()
+        w2, b2 = DenseParams(self.hidden, self.in_dim, name="Dense_1")()
+        return w1, b1, w2, b2
+
+
 class DropPath(nn.Module):
     """Stochastic depth — drop the residual branch per sample
     (reference: vision_transformer_base.py:49-64)."""
@@ -76,11 +121,28 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
-                 capture: bool = False) -> jnp.ndarray:
+                 capture: bool = False,
+                 ln: Optional[tuple] = None) -> jnp.ndarray:
         b, n, d = x.shape
         head_dim = d // self.num_heads
-        qkv = nn.Dense(3 * d, use_bias=self.qkv_bias, dtype=self.dtype,
-                       kernel_init=trunc_normal_init)(x)
+        if ln is not None:
+            # Serving fast path (Block.token_kernels): the caller passes the
+            # pre-norm LayerNorm params and this computes LN + QKV in one
+            # Pallas kernel (LN never materializes in HBM — ops/
+            # token_fused.py). Params are created with the exact names
+            # ("Dense_0") and inits the nn.Dense below would use, so the
+            # tree is checkpoint-identical across paths. f32-accumulated
+            # matmul (vs nn.Dense's compute-dtype accum): ≤1e-2-ULP-class
+            # diff, covered by the fused-vs-XLA equivalence test.
+            qkv_kernel, qkv_b = DenseParams(d, 3 * d, self.qkv_bias,
+                                            name="Dense_0")()
+            from ..ops.token_fused import fused_ln_matmul
+
+            qkv = fused_ln_matmul(x, ln[0], ln[1],
+                                  qkv_kernel.astype(self.dtype), qkv_b)
+        else:
+            qkv = nn.Dense(3 * d, use_bias=self.qkv_bias, dtype=self.dtype,
+                           kernel_init=trunc_normal_init)(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)                       # (b,n,h,hd) each
         q = q.transpose(0, 2, 1, 3)                             # (b,h,n,hd)
@@ -96,7 +158,14 @@ class Attention(nn.Module):
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
-        out = nn.Dense(d, dtype=self.dtype, kernel_init=trunc_normal_init)(out)
+        if ln is not None:
+            # raw-param out-proj with nn.Dense numerics ("Dense_1" — the
+            # name the anonymous Dense below would get on the other path)
+            wp, bp = DenseParams(d, d, True, name="Dense_1")()
+            out = out @ wp.astype(self.dtype) + bp.astype(self.dtype)
+        else:
+            out = nn.Dense(d, dtype=self.dtype,
+                           kernel_init=trunc_normal_init)(out)
         out = nn.Dropout(self.proj_drop_rate)(out, deterministic=deterministic)
         return out
 
@@ -148,12 +217,33 @@ class Block(nn.Module):
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    # Serving fast path (TPU): LayerNorm+QKV as one Pallas kernel and
+    # norm2+MLP+residual as one kernel whose 4C hidden tensor never touches
+    # HBM (ops/token_fused.py — the same kernels the Swin serving path
+    # uses). Eval-only: dropout/DropPath are identities there, so the math
+    # is exact; training and attention-capture keep the XLA path.
+    token_kernels: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
                  capture: bool = False) -> jnp.ndarray:
         d = x.shape[-1]
+        fused = self.token_kernels and deterministic and not capture
+        if fused:
+            g1, b1 = LNParams(d, name="LayerNorm_0")()
+            y = Attention(self.num_heads, self.qkv_bias, self.attn_drop_rate,
+                          self.drop_rate, dtype=self.dtype,
+                          name="Attention_0")(
+                x, deterministic=True, ln=(g1, b1))
+            x = x + y
+            g2, b2 = LNParams(d, name="LayerNorm_1")()
+            w1, bb1, w2, bb2 = MlpParams(d, int(d * self.mlp_ratio),
+                                         name="Mlp_0")()
+            from ..ops.token_fused import fused_ln_mlp_residual
+
+            return fused_ln_mlp_residual(x, g2, b2, w1.astype(self.dtype),
+                                         bb1, w2.astype(self.dtype), bb2)
         y = nn.LayerNorm(dtype=self.dtype)(x)
         y = Attention(self.num_heads, self.qkv_bias, self.attn_drop_rate,
                       self.drop_rate, dtype=self.dtype)(

@@ -35,6 +35,9 @@ class DeiT(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
     quality_aware: bool = False
+    # eval-time fused LN+QKV / LN+MLP+residual Pallas kernels (see
+    # models/layers.py Block.token_kernels); default on for TPU
+    token_kernels: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -61,6 +64,7 @@ class DeiT(nn.Module):
         for i in range(self.depth):
             tokens = Block(self.num_heads, self.mlp_ratio, self.qkv_bias,
                            self.drop_rate, self.attn_drop_rate, float(dpr[i]),
+                           token_kernels=self.token_kernels,
                            dtype=self.dtype, name=f"block_{i}")(
                 tokens, deterministic=det, capture=capture)
         tokens = nn.LayerNorm(dtype=self.dtype, name="norm")(tokens)
@@ -102,8 +106,16 @@ def build_deit(cfg: Any) -> DeiT:
         attn_drop_rate=float(cfg_get(cfg, "attn_drop_rate", 0.0)),
         drop_path_rate=float(cfg_get(cfg, "drop_path_rate", 0.1)),
         quality_aware=bool(cfg_get(cfg, "quality_aware", False)),
+        token_kernels=bool(cfg_get(cfg, "token_kernels", _tpu_default())),
         dtype=resolve_dtype(cfg),
     )
+
+
+def _tpu_default() -> bool:
+    # compiled Mosaic kernels need a TPU; elsewhere they'd run interpreted
+    from ...ops.tpu_platform import is_tpu
+
+    return is_tpu()
 
 
 for _name in DEIT_PARAMS:

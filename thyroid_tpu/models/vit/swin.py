@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..layers import DropPath, trunc_normal_init
+from ..layers import (DenseParams, DropPath, LNParams, MlpParams,
+                      trunc_normal_init)
 from ..registry import ModelRegistry, cfg_get, resolve_dtype
 
 Dtype = Any
@@ -83,49 +84,12 @@ def shift_attention_mask(h: int, w: int, ws: int, shift: int) -> Optional[np.nda
     return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
 
 
-class _LNParams(nn.Module):
-    """LayerNorm parameters WITHOUT the computation — the fused serving
-    kernel computes LN in VMEM, so the block only needs (scale, bias).
-    Named "norm1" this creates the exact same param tree as nn.LayerNorm
-    (checkpoints and the torch importer are unaffected)."""
-
-    dim: int
-
-    @nn.compact
-    def __call__(self):
-        return (self.param("scale", nn.initializers.ones, (self.dim,)),
-                self.param("bias", nn.initializers.zeros, (self.dim,)))
-
-
-class _DenseParams(nn.Module):
-    """nn.Dense-compatible parameters (kernel/bias, same names and inits)
-    exposed raw so the fused kernel can consume them directly."""
-
-    in_dim: int
-    out_dim: int
-    use_bias: bool = True
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param("kernel", trunc_normal_init,
-                            (self.in_dim, self.out_dim))
-        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,)) \
-            if self.use_bias else None
-        return kernel, bias
-
-
-class _MlpParams(nn.Module):
-    """Mlp-compatible parameter tree (mlp/Dense_0, mlp/Dense_1) exposed raw
-    for the fused LN+MLP serving kernel (ops/token_fused.py)."""
-
-    in_dim: int
-    hidden: int
-
-    @nn.compact
-    def __call__(self):
-        w1, b1 = _DenseParams(self.in_dim, self.hidden, name="Dense_0")()
-        w2, b2 = _DenseParams(self.hidden, self.in_dim, name="Dense_1")()
-        return w1, b1, w2, b2
+# param-shim modules shared with the plain-ViT stack (models/layers.py):
+# create nn.LayerNorm/nn.Dense/Mlp-identical param trees, expose params raw
+# for the fused serving kernels.
+_LNParams = LNParams
+_DenseParams = DenseParams
+_MlpParams = MlpParams
 
 
 def manual_layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,

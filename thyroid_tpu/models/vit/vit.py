@@ -39,6 +39,9 @@ class VisionTransformer(nn.Module):
     pool_type: str = "cls"                 # cls | gap
     class_token: bool = True
     quality_aware: bool = False
+    # eval-time fused LN+QKV / LN+MLP+residual Pallas kernels (see
+    # models/layers.py Block.token_kernels); default on for TPU via build_vit
+    token_kernels: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -68,6 +71,7 @@ class VisionTransformer(nn.Module):
         for i in range(self.depth):
             tokens = Block(self.num_heads, self.mlp_ratio, self.qkv_bias,
                            self.drop_rate, self.attn_drop_rate, float(dpr[i]),
+                           token_kernels=self.token_kernels,
                            dtype=self.dtype, name=f"block_{i}")(
                 tokens, deterministic=det, capture=capture)
 
@@ -116,8 +120,16 @@ def build_vit(cfg: Any) -> VisionTransformer:
         pos_embed_type=str(cfg_get(cfg, "pos_embed_type", "learnable")),
         pool_type=str(cfg_get(cfg, "pool_type", "cls")),
         quality_aware=bool(cfg_get(cfg, "quality_aware", False)),
+        token_kernels=bool(cfg_get(cfg, "token_kernels", _tpu_default())),
         dtype=resolve_dtype(cfg),
     )
+
+
+def _tpu_default() -> bool:
+    # compiled Mosaic kernels need a TPU; elsewhere they'd run interpreted
+    from ...ops.tpu_platform import is_tpu
+
+    return is_tpu()
 
 
 for _name in VIT_PARAMS:
