@@ -16,6 +16,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:
+    if any(a in ("-h", "--help") for a in sys.argv[1:]):
+        print(__doc__)
+        print("Overrides: group=option (model=vit/swin_tiny), dotted "
+              "(trainer.max_epochs=5), +key=value to add, ~key to delete.")
+        return
     import jax
 
     from thyroid_tpu.config import compose

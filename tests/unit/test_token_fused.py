@@ -191,3 +191,45 @@ class TestVitBlockTokenKernels:
         y1 = m_std.apply(v, x, train=True, rngs=rngs)
         y2 = m_fus.apply(v, x, train=True, rngs=rngs)
         assert np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+@pytest.mark.unit
+class TestPaddedTokenBlocks:
+    """B·197-style token counts (prime factors) take the padded-block path
+    (_pick_block_padded): outputs and gradients must match the XLA math."""
+
+    def test_fwd_matmul_prime_tokens(self):
+        x = jnp.asarray(RS.randn(197, 96).astype(np.float32))
+        g = jnp.asarray((1 + 0.1 * RS.randn(96)).astype(np.float32))
+        b = jnp.asarray((0.1 * RS.randn(96)).astype(np.float32))
+        w = jnp.asarray((RS.randn(96, 288) / 10).astype(np.float32))
+        wb = jnp.asarray((0.1 * RS.randn(288)).astype(np.float32))
+        got = fused_ln_matmul(x, g, b, w, wb, interpret=True)
+        want = manual_layer_norm(x, g, b, jnp.float32) @ w + wb
+        assert got.shape == (197, 288)
+        assert np.abs(np.asarray(got) - np.asarray(want)).max() < 1e-5
+
+    def test_grads_prime_tokens(self):
+        x = jnp.asarray(RS.randn(2, 197, 64).astype(np.float32))
+        g = jnp.asarray((1 + 0.1 * RS.randn(64)).astype(np.float32))
+        b = jnp.asarray((0.1 * RS.randn(64)).astype(np.float32))
+        w1 = jnp.asarray((RS.randn(64, 256) / 8).astype(np.float32))
+        b1 = jnp.asarray((0.1 * RS.randn(256)).astype(np.float32))
+        w2 = jnp.asarray((RS.randn(256, 64) / 16).astype(np.float32))
+        b2 = jnp.asarray((0.1 * RS.randn(64)).astype(np.float32))
+
+        def f_fused(*a):
+            return (fused_ln_mlp_residual(*a, interpret=True) ** 2).sum()
+
+        def f_ref(x, g, b, w1, b1, w2, b2):
+            h = manual_layer_norm(x, g, b, jnp.float32) @ w1 + b1
+            h = jax.nn.gelu(h, approximate=False) @ w2 + b2
+            return ((x + h) ** 2).sum()
+
+        args = (x, g, b, w1, b1, w2, b2)
+        got = jax.grad(f_fused, argnums=(0, 1, 3, 5))(*args)
+        want = jax.grad(f_ref, argnums=(0, 1, 3, 5))(*args)
+        for gt, wt in zip(got, want):
+            denom = max(1e-3, float(np.abs(np.asarray(wt)).max()))
+            rel = np.abs(np.asarray(gt) - np.asarray(wt)).max() / denom
+            assert rel < 5e-4

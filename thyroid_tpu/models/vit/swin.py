@@ -157,12 +157,13 @@ class WindowAttention(nn.Module):
 
         if spatial:
             # Fused Pallas paths (round 2): x is the PRE-ROLLED spatial map
-            # (B, H, W, C). Serving (deterministic, ln given): LayerNorm +
-            # QKV + window partition + W-MSA + reverse in ONE kernel from
-            # the RAW residual stream (fused_swin_ln_attention — removes the
-            # qkv HBM tensor and its relayout; design notes in
-            # ops/attention.py). Training: LN+QKV in XLA, attention through
-            # the custom_vjp qkv-input kernel.
+            # (B, H, W, C). Serving (deterministic, ln given): LN+QKV via
+            # the token-2D kernel, then window partition + W-MSA + reverse
+            # + out-proj + residual in ONE attention kernel
+            # (fused_swin_block_attention). Training: LN+QKV in XLA,
+            # attention through the custom_vjp qkv-input kernel. The
+            # all-in-one LN+QKV+W-MSA kernel (fused_swin_ln_attention) is a
+            # measured negative result, kept opt-in via ln_kernel.
             from ...ops.attention import (fused_swin_attention,
                                           fused_swin_ln_attention)
 

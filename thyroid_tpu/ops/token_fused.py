@@ -40,7 +40,7 @@ match the XLA Dense → gelu → Dense chain bit-for-bit at f32.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -111,6 +111,22 @@ def _pick_block(total: int, limit: int, multiple: int = 8) -> int:
     return total
 
 
+def _pick_block_padded(total: int, limit: int) -> Tuple[int, int]:
+    """(block, padded_total) for the token grid dim. Prefers an exact
+    divisor (no padding); when the divisor structure is hostile — e.g.
+    ViT's 197-token sequences make B·197 have only tiny %8 divisors, so a
+    divisor-only choice runs hundreds of micro grid steps — pads the token
+    count up to a multiple of a full-sized block instead. The caller
+    zero-pads rows and slices the output back; LN/matmul/MLP on zero rows
+    are finite, and with allow_input_fusion the pad fuses into the kernel's
+    input DMA rather than materializing."""
+    tb = _pick_block(total, limit)
+    if tb >= limit // 2 or tb == total:
+        return tb, total
+    tb = min(limit - limit % 8, (total + 7) // 8 * 8)
+    return tb, (total + tb - 1) // tb * tb
+
+
 # ---------------------------------------------------------------------------
 # LN + matmul  (norm1 + QKV projection)
 # ---------------------------------------------------------------------------
@@ -140,14 +156,17 @@ def _ln_matmul_fwd_call(x2, g, b, w, wb, *, eps: float, interpret: bool):
     budget = 10 * 1024 * 1024
     wbytes = c * out_dim * jnp.dtype(cdt).itemsize
     row_bytes = (c + out_dim) * (jnp.dtype(cdt).itemsize + 4)
-    tb = _pick_block(t, max(8, (budget - wbytes) // max(1, row_bytes)))
+    tb, tp = _pick_block_padded(t, max(8, (budget - wbytes)
+                                       // max(1, row_bytes)))
+    if tp != t:
+        x2 = jnp.pad(x2, ((0, tp - t), (0, 0)))
 
     kernel = functools.partial(_ln_matmul_kernel, eps=float(eps),
                                has_bias=True)
     const = lambda i: (0, 0)  # noqa: E731
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(t // tb,),
+        grid=(tp // tb,),
         in_specs=[
             pl.BlockSpec((tb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),
@@ -157,9 +176,10 @@ def _ln_matmul_fwd_call(x2, g, b, w, wb, *, eps: float, interpret: bool):
         ],
         out_specs=pl.BlockSpec((tb, out_dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, out_dim), cdt),
+        out_shape=jax.ShapeDtypeStruct((tp, out_dim), cdt),
         # token-block grid is stateless → parallel; x2's producer (the
-        # shifted block's roll / layout copy) may fuse into the input DMA
+        # shifted block's roll / layout copy, or the token pad above) may
+        # fuse into the input DMA
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             allow_input_fusion=(True, False, False, False, False)),
@@ -167,6 +187,7 @@ def _ln_matmul_fwd_call(x2, g, b, w, wb, *, eps: float, interpret: bool):
     )(x2, g.astype(jnp.float32).reshape(1, c),
       b.astype(jnp.float32).reshape(1, c), w.astype(cdt),
       wb.astype(jnp.float32).reshape(1, out_dim))
+    return out[:t] if tp != t else out
 
 
 def _ln_matmul_bwd_kernel(x_ref, g_ref, w_ref, dy_ref, dx_ref, dg_ref,
@@ -202,12 +223,17 @@ def _ln_matmul_bwd_call(x2, g, w, dy, *, eps: float, interpret: bool):
     budget = 8 * 1024 * 1024
     wbytes = c * out_dim * jnp.dtype(cdt).itemsize
     row_bytes = (2 * c + out_dim) * (jnp.dtype(cdt).itemsize + 4)
-    tb = _pick_block(t, max(8, (budget - wbytes) // max(1, row_bytes)))
+    tb, tp = _pick_block_padded(t, max(8, (budget - wbytes)
+                                       // max(1, row_bytes)))
+    if tp != t:
+        # zero-pad rows: dy=0 rows contribute nothing to dγ/dβ, dx sliced
+        x2 = jnp.pad(x2, ((0, tp - t), (0, 0)))
+        dy = jnp.pad(dy, ((0, tp - t), (0, 0)))
     kernel = functools.partial(_ln_matmul_bwd_kernel, eps=float(eps))
     const = lambda i: (0, 0)  # noqa: E731
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
-        grid=(t // tb,),
+        grid=(tp // tb,),
         in_specs=[
             pl.BlockSpec((tb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),
@@ -221,12 +247,15 @@ def _ln_matmul_bwd_call(x2, g, w, dy, *, eps: float, interpret: bool):
             pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, c), cdt),
+            jax.ShapeDtypeStruct((tp, c), cdt),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ],
         interpret=interpret,
     )(x2, g.astype(jnp.float32).reshape(1, c), w.astype(cdt), dy)
+    if tp != t:
+        return outs[0][:t], outs[1], outs[2]
+    return outs
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -324,8 +353,9 @@ def _mlp_blocks(t: int, c: int, hdim: int, cdt, budget: int):
     hc = _pick_block(hdim, 512, multiple=128)
     wbytes = (c * hc + hc * c) * isz
     row_bytes = c * (isz + 4 + 4) + hc * 4 * 2
-    tb = _pick_block(t, max(8, (budget - wbytes) // max(1, row_bytes)))
-    return hc, tb
+    tb, tp = _pick_block_padded(t, max(8, (budget - wbytes)
+                                       // max(1, row_bytes)))
+    return hc, tb, tp
 
 
 def _ln_mlp_fwd_call(x2, g, b, w1, b1, w2, b2, *, residual: bool,
@@ -333,15 +363,17 @@ def _ln_mlp_fwd_call(x2, g, b, w1, b1, w2, b2, *, residual: bool,
     t, c = x2.shape
     hdim = w1.shape[1]
     cdt = x2.dtype
-    hc, tb = _mlp_blocks(t, c, hdim, cdt, 10 * 1024 * 1024)
+    hc, tb, tp = _mlp_blocks(t, c, hdim, cdt, 10 * 1024 * 1024)
     n_hc = hdim // hc
+    if tp != t:
+        x2 = jnp.pad(x2, ((0, tp - t), (0, 0)))
 
     kernel = functools.partial(_ln_mlp_kernel, eps=float(eps), n_hc=n_hc,
                                residual=residual)
     const = lambda i, j: (0, 0)  # noqa: E731
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(t // tb, n_hc),
+        grid=(tp // tb, n_hc),
         in_specs=[
             pl.BlockSpec((tb, c), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -357,7 +389,7 @@ def _ln_mlp_fwd_call(x2, g, b, w1, b1, w2, b2, *, residual: bool,
         ],
         out_specs=pl.BlockSpec((tb, c), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, c), cdt),
+        out_shape=jax.ShapeDtypeStruct((tp, c), cdt),
         scratch_shapes=[pltpu.VMEM((tb, c), jnp.float32)],
         # token dim parallel; hidden-chunk dim SEQUENTIAL (the scratch
         # accumulator carries partial fc2 sums across chunks)
@@ -369,6 +401,7 @@ def _ln_mlp_fwd_call(x2, g, b, w1, b1, w2, b2, *, residual: bool,
       b.astype(jnp.float32).reshape(1, c),
       w1.astype(cdt), b1.astype(jnp.float32).reshape(1, hdim),
       w2.astype(cdt), b2.astype(jnp.float32).reshape(1, c))
+    return out[:t] if tp != t else out
 
 
 def _mlp_recompute(x_ref, g_ref, b_ref, w1_ref, b1_ref, eps):
@@ -465,8 +498,12 @@ def _ln_mlp_bwd_call(x2, g, b, w1, b1, w2, dy, *, residual: bool,
     t, c = x2.shape
     hdim = w1.shape[1]
     cdt = x2.dtype
-    hc, tb = _mlp_blocks(t, c, hdim, cdt, 6 * 1024 * 1024)
+    hc, tb, tp = _mlp_blocks(t, c, hdim, cdt, 6 * 1024 * 1024)
     n_hc = hdim // hc
+    if tp != t:
+        # zero-pad rows: dy=0 rows are inert in every accumulated gradient
+        x2 = jnp.pad(x2, ((0, tp - t), (0, 0)))
+        dy = jnp.pad(dy, ((0, tp - t), (0, 0)))
     const2 = lambda i, j: (0, 0)  # noqa: E731
     args = (x2, g.astype(jnp.float32).reshape(1, c),
             b.astype(jnp.float32).reshape(1, c),
@@ -486,7 +523,7 @@ def _ln_mlp_bwd_call(x2, g, b, w1, b1, w2, dy, *, residual: bool,
     ]
     dx, dg, dbl = pl.pallas_call(
         dx_kernel,
-        grid=(t // tb, n_hc),
+        grid=(tp // tb, n_hc),
         in_specs=in_specs_dx,
         out_specs=[
             pl.BlockSpec((tb, c), lambda i, j: (i, 0),
@@ -495,13 +532,15 @@ def _ln_mlp_bwd_call(x2, g, b, w1, b1, w2, dy, *, residual: bool,
             pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, c), cdt),
+            jax.ShapeDtypeStruct((tp, c), cdt),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((tb, c), jnp.float32)],
         interpret=interpret,
     )(*args)
+    if tp != t:
+        dx = dx[:t]
 
     dw_kernel = functools.partial(_ln_mlp_bwd_dw_kernel, eps=float(eps))
     in_specs_dw = [
@@ -515,7 +554,7 @@ def _ln_mlp_bwd_call(x2, g, b, w1, b1, w2, dy, *, residual: bool,
     ]
     dw1, db1, dw2 = pl.pallas_call(
         dw_kernel,
-        grid=(n_hc, t // tb),
+        grid=(n_hc, tp // tb),
         in_specs=in_specs_dw,
         out_specs=[
             pl.BlockSpec((c, hc), lambda j, i: (0, j),
