@@ -69,6 +69,14 @@ class InferenceEngine:
         if model_config is None:
             raise ValueError("need model_config or checkpoint")
         self.model_config = model_config
+        if quantize is not None:
+            # the int8 interceptor quantizes nn.Dense/nn.Conv calls; the
+            # token-2D Pallas kernels consume raw params the interceptor
+            # never sees, so force the plain-module path under quantization
+            model_config = dict(model_config.to_dict()
+                                if hasattr(model_config, "to_dict")
+                                else model_config)
+            model_config["token_kernels"] = False
         self.module = ModelRegistry.create_model(model_config)
         if variables is None:
             _, variables = create_and_init(model_config, jax.random.PRNGKey(0))
