@@ -94,6 +94,10 @@ def main() -> None:
     p.add_argument("--quantize", default=None, choices=["int8"],
                    help="serve Dense/Conv contractions in int8 PTQ "
                         "(serving/quantize.py)")
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard each bucket's batch over N devices "
+                        "(ICI data-parallel serving; buckets round up to "
+                        "multiples of N)")
     p.add_argument("--no-warmup", action="store_true")
     args = p.parse_args()
 
@@ -105,10 +109,15 @@ def main() -> None:
                 "dtype": "bf16"}
         if args.img_size:
             mcfg["img_size"] = args.img_size
+    mesh = None
+    if args.data_parallel > 1:
+        from thyroid_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh({"data": args.data_parallel})
     engine = InferenceEngine(model_config=mcfg, checkpoint=args.checkpoint,
                              buckets=args.buckets, quality=args.quality,
                              raw_inputs=not args.preprocessed,
-                             quantize=args.quantize)
+                             quantize=args.quantize, mesh=mesh)
     if not args.no_warmup:
         print("warming up bucket programs...", flush=True)
         engine.warmup()

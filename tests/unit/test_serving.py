@@ -122,3 +122,39 @@ class TestBatchAggregator:
         agg.close()
         assert probs.shape == (2,)
         np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)
+
+
+@pytest.mark.unit
+class TestShardedServing:
+    """Multi-chip serving: batch sharded over the mesh's data axis,
+    params replicated — same numbers as the single-device engine."""
+
+    def test_mesh_matches_single_device(self):
+        import jax
+        from thyroid_tpu.parallel.mesh import create_mesh
+
+        if jax.device_count() < 8:
+            pytest.skip("needs the 8-virtual-device CPU mesh")
+        mesh = create_mesh({"data": 8})
+        single = InferenceEngine(model_config=MCFG, buckets=(8,),
+                                 raw_inputs=False)
+        sharded = InferenceEngine(model_config=MCFG, buckets=(3, 8),
+                                  raw_inputs=False, mesh=mesh,
+                                  variables=single.variables)
+        # bucket 3 rounded up to a multiple of the axis size
+        assert sharded.buckets == (8,)
+        rs = np.random.RandomState(2)
+        imgs = rs.rand(6, 32, 32, 1).astype(np.float32)
+        np.testing.assert_allclose(sharded.predict(imgs),
+                                   single.predict(imgs), atol=2e-5)
+
+    def test_mesh_bucket_rounding_keeps_ladder(self):
+        import jax
+        from thyroid_tpu.parallel.mesh import create_mesh
+
+        if jax.device_count() < 8:
+            pytest.skip("needs the 8-virtual-device CPU mesh")
+        mesh = create_mesh({"data": 8})
+        eng = InferenceEngine(model_config=MCFG, buckets=(1, 4, 8, 20),
+                              raw_inputs=False, mesh=mesh)
+        assert eng.buckets == (8, 24)

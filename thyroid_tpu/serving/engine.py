@@ -55,6 +55,8 @@ class InferenceEngine:
         mean: Optional[Sequence[float]] = None,
         std: Optional[Sequence[float]] = None,
         quantize: Optional[str] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        mesh_axis: str = "data",
     ):
         if checkpoint is not None:
             from ..training.checkpoint import load_checkpoint
@@ -80,7 +82,25 @@ class InferenceEngine:
         self.module = ModelRegistry.create_model(model_config)
         if variables is None:
             _, variables = create_and_init(model_config, jax.random.PRNGKey(0))
-        self.variables = jax.device_put(variables)
+        # Multi-chip serving: with a mesh, every bucket program is jitted
+        # with the batch sharded over `mesh_axis` (ICI data parallelism —
+        # the same axis layout the training engine uses) and params
+        # replicated; buckets are rounded up to multiples of the axis size
+        # so every shard is non-empty and identical in shape.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n_shard = int(mesh.shape[mesh_axis])
+            buckets = sorted({max(-(-int(b) // n_shard) * n_shard, n_shard)
+                              for b in buckets})
+            self._rep = NamedSharding(mesh, PartitionSpec())
+            self._batch_sharding = NamedSharding(mesh,
+                                                 PartitionSpec(mesh_axis))
+            variables = jax.device_put(variables, self._rep)
+            self.variables = variables
+        else:
+            self.variables = jax.device_put(variables)
         self.img_size = int(cfg_get(model_config, "img_size", 224))
         self.in_channels = int(cfg_get(model_config, "in_channels", 1))
         self.buckets = tuple(sorted(set(int(b) for b in buckets)))
@@ -127,7 +147,11 @@ class InferenceEngine:
             logits = out[0] if isinstance(out, tuple) else out
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-        fn = jax.jit(run)
+        if self.mesh is not None:
+            fn = jax.jit(run, in_shardings=(self._rep, self._batch_sharding),
+                         out_shardings=self._batch_sharding)
+        else:
+            fn = jax.jit(run)
         self._fns[bucket] = fn
         return fn
 
