@@ -803,6 +803,12 @@ def _swin_bwd_call(qkv, do, bias, mask, *, window_size: int, num_heads: int,
         ],
         out_shape=[jax.ShapeDtypeStruct((b, hh, ww_, 3 * c), qkv.dtype)] + [
             jax.ShapeDtypeStruct((n, p * n), jnp.float32) for _, p in groups],
+        # grid stays SEQUENTIAL (dbias accumulates across steps) but the
+        # read-once qkv/dO streams may fuse their producers (the dO reshape
+        # relayout, the fwd's roll) into the input DMA
+        compiler_params=pltpu.CompilerParams(
+            allow_input_fusion=(True, True, False)
+            + (False,) * len(groups)),
         interpret=interpret,
     )(qkv, do4, m, *packed_biases)
     dqkv = outs[0].reshape(qkv.shape)
