@@ -233,3 +233,43 @@ class TestPaddedTokenBlocks:
             denom = max(1e-3, float(np.abs(np.asarray(wt)).max()))
             rel = np.abs(np.asarray(gt) - np.asarray(wt)).max() / denom
             assert rel < 5e-4
+
+
+@pytest.mark.unit
+class TestPickBlockPadded:
+    """Block/padding policy — incl. the VMEM-overrun regression: the
+    _pick_block fallback returns `total` even when total > limit, which must
+    route to the padding branch (vit_base serving bucket B=3: t=591)."""
+
+    def test_divisor_kept_when_decent(self):
+        from thyroid_tpu.ops.token_fused import _pick_block_padded
+        assert _pick_block_padded(1024, 512) == (512, 1024)
+
+    def test_whole_dim_kept_only_when_it_fits(self):
+        from thyroid_tpu.ops.token_fused import _pick_block_padded
+        # prime t below the limit: one whole-dim block, no pad
+        assert _pick_block_padded(197, 3400) == (197, 197)
+        # prime-ish t ABOVE the limit: must pad, never a 591-row block
+        tb, tp = _pick_block_padded(591, 138)
+        assert tb <= 138 and tb % 8 == 0 and tp % tb == 0 and tp >= 591
+
+    def test_tiny_divisor_routes_to_padding(self):
+        from thyroid_tpu.ops.token_fused import _pick_block_padded
+        tb, tp = _pick_block_padded(8 * 4507, 4500)
+        assert tb == 4496 and tp == 9 * 4496
+
+    def test_fwd_matmul_through_padding_branch(self):
+        # t = 8·4507 with the 10 MB budget → limit ≈ 4.5k, divisor only 8 →
+        # the kernel really runs the pad/slice path
+        t = 8 * 4507
+        x = jnp.asarray(RS.randn(t, 96).astype(np.float32))
+        g = jnp.asarray((1 + 0.1 * RS.randn(96)).astype(np.float32))
+        b = jnp.asarray((0.1 * RS.randn(96)).astype(np.float32))
+        w = jnp.asarray((RS.randn(96, 288) / 10).astype(np.float32))
+        wb = jnp.asarray((0.1 * RS.randn(288)).astype(np.float32))
+        from thyroid_tpu.ops.token_fused import _pick_block_padded
+        assert _pick_block_padded(t, 4500)[1] != t  # precondition: pads
+        got = fused_ln_matmul(x, g, b, w, wb, interpret=True)
+        want = manual_layer_norm(x, g, b, jnp.float32) @ w + wb
+        assert got.shape == (t, 288)
+        assert np.abs(np.asarray(got) - np.asarray(want)).max() < 2e-5

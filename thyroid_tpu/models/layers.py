@@ -270,3 +270,18 @@ def sincos_pos_embed(n: int, dim: int) -> jnp.ndarray:
 
 def count_params(params) -> int:
     return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def token_kernels_default(cfg) -> bool:
+    """Resolve a model config's `token_kernels` flag LAZILY: only probe the
+    platform (jax.devices() — backend init, expensive/fragile under the
+    axon tunnel) when the config doesn't pin the flag. Compiled Mosaic
+    kernels need a real TPU; elsewhere they'd run interpreted."""
+    from .registry import cfg_get
+
+    v = cfg_get(cfg, "token_kernels", None)
+    if v is not None:
+        return bool(v)
+    from ..ops.tpu_platform import is_tpu
+
+    return is_tpu()

@@ -15,7 +15,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..layers import Block, PatchEmbed, trunc_normal_init
+from ..layers import (Block, PatchEmbed, token_kernels_default,
+                      trunc_normal_init)
 from ..registry import ModelRegistry, cfg_get, resolve_dtype
 
 Dtype = Any
@@ -106,16 +107,9 @@ def build_deit(cfg: Any) -> DeiT:
         attn_drop_rate=float(cfg_get(cfg, "attn_drop_rate", 0.0)),
         drop_path_rate=float(cfg_get(cfg, "drop_path_rate", 0.1)),
         quality_aware=bool(cfg_get(cfg, "quality_aware", False)),
-        token_kernels=bool(cfg_get(cfg, "token_kernels", _tpu_default())),
+        token_kernels=token_kernels_default(cfg),
         dtype=resolve_dtype(cfg),
     )
-
-
-def _tpu_default() -> bool:
-    # compiled Mosaic kernels need a TPU; elsewhere they'd run interpreted
-    from ...ops.tpu_platform import is_tpu
-
-    return is_tpu()
 
 
 for _name in DEIT_PARAMS:

@@ -16,7 +16,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..layers import Block, PatchEmbed, sincos_pos_embed, trunc_normal_init
+from ..layers import (Block, PatchEmbed, sincos_pos_embed,
+                      token_kernels_default, trunc_normal_init)
 from ..registry import ModelRegistry, cfg_get, resolve_dtype
 
 Dtype = Any
@@ -120,16 +121,9 @@ def build_vit(cfg: Any) -> VisionTransformer:
         pos_embed_type=str(cfg_get(cfg, "pos_embed_type", "learnable")),
         pool_type=str(cfg_get(cfg, "pool_type", "cls")),
         quality_aware=bool(cfg_get(cfg, "quality_aware", False)),
-        token_kernels=bool(cfg_get(cfg, "token_kernels", _tpu_default())),
+        token_kernels=token_kernels_default(cfg),
         dtype=resolve_dtype(cfg),
     )
-
-
-def _tpu_default() -> bool:
-    # compiled Mosaic kernels need a TPU; elsewhere they'd run interpreted
-    from ...ops.tpu_platform import is_tpu
-
-    return is_tpu()
 
 
 for _name in VIT_PARAMS:

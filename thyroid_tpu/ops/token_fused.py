@@ -121,9 +121,14 @@ def _pick_block_padded(total: int, limit: int) -> Tuple[int, int]:
     are finite, and with allow_input_fusion the pad fuses into the kernel's
     input DMA rather than materializing."""
     tb = _pick_block(total, limit)
-    if tb >= limit // 2 or tb == total:
+    # no padding when the divisor is a decent fraction of the budget, or
+    # the whole dim fits in one block. NB the _pick_block fallback returns
+    # `total` even when total > limit (legal shape, but over the VMEM
+    # budget) — that case MUST fall through to padding or Mosaic OOMs at
+    # compile (e.g. vit_base serving bucket B=3: t=591, limit≈138).
+    if tb <= max(limit, 8) and (tb >= limit // 2 or tb == total):
         return tb, total
-    tb = min(limit - limit % 8, (total + 7) // 8 * 8)
+    tb = max(8, limit - limit % 8)
     return tb, (total + tb - 1) // tb * tb
 
 
