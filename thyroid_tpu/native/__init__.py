@@ -75,7 +75,10 @@ def load_native() -> Optional[ctypes.CDLL]:
 
 
 def native_supported(path: str | Path) -> bool:
-    return str(path).lower().endswith((".png", ".pgm"))
+    # .tif/.tiff: classic uncompressed TIFF decodes natively; exotic
+    # variants return a nonzero rc and decode_batch_native falls back to
+    # the Python tifffile/PIL chain
+    return str(path).lower().endswith((".png", ".pgm", ".tif", ".tiff"))
 
 
 def decode_batch_native(

@@ -7,10 +7,12 @@
 // (thyroid_tpu/data/pipeline.py) with a single contiguous uint16 block.
 //
 // Supported: PNG (8/16-bit, gray/RGB/RGBA via libpng, 16-bit network byte
-// order handled) and PGM P5 (8/16-bit). 8-bit values are upscaled ×257 to
-// the uint16 scale (reference: dataset.py:525-529); RGB collapses to
-// luminance-free channel mean (matching cv2 grayscale conversion closely
-// enough for microscopy captures, which are single-channel at source).
+// order handled), classic TIFF (uncompressed strips, II/MM, 8/16-bit,
+// 1 or 3 samples — the corpus's primary format), and PGM P5 (8/16-bit).
+// 8-bit values are upscaled ×257 to the uint16 scale (reference:
+// dataset.py:525-529); RGB collapses to luminance-free channel mean
+// (matching cv2 grayscale conversion closely enough for microscopy
+// captures, which are single-channel at source).
 //
 // C ABI (ctypes):
 //   int decode_image_u16(const char* path, uint16_t* out, int out_h, int out_w);
@@ -145,9 +147,161 @@ int decode_pgm(const char* path, Image* img) {
   return 0;
 }
 
+// --- Classic TIFF (the corpus's PRIMARY format: 512×512 uint16 grayscale,
+// reference src/data/dataset.py:490 decodes via tifffile first). Scope:
+// first IFD, uncompressed strips, chunky planar layout, 8/16-bit unsigned,
+// 1 or 3 samples/pixel, both byte orders. Anything else returns kErrFormat
+// and the Python tifffile/PIL fallback chain takes over (the binding treats
+// any nonzero rc as "use the Python path").
+struct TiffReader {
+  const uint8_t* p;
+  size_t size;
+  bool big_endian;
+
+  uint16_t u16(size_t off) const {
+    if (off + 2 > size) return 0;
+    return big_endian ? (uint16_t)((p[off] << 8) | p[off + 1])
+                      : (uint16_t)((p[off + 1] << 8) | p[off]);
+  }
+  uint32_t u32(size_t off) const {
+    if (off + 4 > size) return 0;
+    return big_endian ? ((uint32_t)p[off] << 24) | ((uint32_t)p[off + 1] << 16) |
+                            ((uint32_t)p[off + 2] << 8) | p[off + 3]
+                      : ((uint32_t)p[off + 3] << 24) | ((uint32_t)p[off + 2] << 16) |
+                            ((uint32_t)p[off + 1] << 8) | p[off];
+  }
+};
+
+struct TiffTag {
+  uint16_t id = 0, type = 0;
+  uint32_t count = 0;
+  size_t value_off = 0;  // offset of the inline value field (4 bytes)
+};
+
+// Read entry i of a SHORT(3)/LONG(4) tag value array.
+uint32_t tiff_tag_entry(const TiffReader& r, const TiffTag& t, uint32_t i) {
+  const size_t esz = (t.type == 3) ? 2 : 4;
+  size_t base = t.value_off;
+  if (t.count * esz > 4) base = r.u32(t.value_off);  // out-of-line values
+  return (t.type == 3) ? r.u16(base + i * esz) : r.u32(base + i * esz);
+}
+
+int decode_tiff(const char* path, Image* img) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return kErrOpen;
+  std::fseek(fp, 0, SEEK_END);
+  long fsize = std::ftell(fp);
+  std::fseek(fp, 0, SEEK_SET);
+  if (fsize < 8) { std::fclose(fp); return kErrFormat; }
+  std::vector<uint8_t> buf(static_cast<size_t>(fsize));
+  if (std::fread(buf.data(), 1, buf.size(), fp) != buf.size()) {
+    std::fclose(fp);
+    return kErrFormat;
+  }
+  std::fclose(fp);
+
+  TiffReader r{buf.data(), buf.size(), false};
+  if (buf[0] == 'M' && buf[1] == 'M') r.big_endian = true;
+  else if (!(buf[0] == 'I' && buf[1] == 'I')) return kErrFormat;
+  if (r.u16(2) != 42) return kErrFormat;  // classic TIFF only (no BigTIFF)
+
+  size_t ifd = r.u32(4);
+  if (ifd + 2 > r.size) return kErrFormat;
+  const uint16_t n_entries = r.u16(ifd);
+
+  uint32_t width = 0, height = 0, compression = 1, spp = 1, rows_per_strip = 0;
+  uint32_t planar = 1, sample_format = 1;
+  std::vector<uint32_t> bits, strip_offsets, strip_counts;
+  for (uint16_t e = 0; e < n_entries; ++e) {
+    size_t off = ifd + 2 + e * 12u;
+    if (off + 12 > r.size) return kErrFormat;
+    TiffTag t{r.u16(off), r.u16(off + 2), r.u32(off + 4), off + 8};
+    if (t.type != 3 && t.type != 4) continue;  // only SHORT/LONG matter here
+    switch (t.id) {
+      case 256: width = tiff_tag_entry(r, t, 0); break;
+      case 257: height = tiff_tag_entry(r, t, 0); break;
+      case 258:
+        for (uint32_t i = 0; i < t.count; ++i)
+          bits.push_back(tiff_tag_entry(r, t, i));
+        break;
+      case 259: compression = tiff_tag_entry(r, t, 0); break;
+      case 273:
+        for (uint32_t i = 0; i < t.count; ++i)
+          strip_offsets.push_back(tiff_tag_entry(r, t, i));
+        break;
+      case 277: spp = tiff_tag_entry(r, t, 0); break;
+      case 278: rows_per_strip = tiff_tag_entry(r, t, 0); break;
+      case 279:
+        for (uint32_t i = 0; i < t.count; ++i)
+          strip_counts.push_back(tiff_tag_entry(r, t, i));
+        break;
+      case 284: planar = tiff_tag_entry(r, t, 0); break;
+      case 339: sample_format = tiff_tag_entry(r, t, 0); break;
+      default: break;
+    }
+  }
+
+  if (width == 0 || height == 0 || strip_offsets.empty()) return kErrFormat;
+  if (compression != 1 || planar != 1 || sample_format != 1) return kErrFormat;
+  if (spp != 1 && spp != 3) return kErrFormat;
+  uint32_t depth = bits.empty() ? 8 : bits[0];
+  for (uint32_t b : bits)
+    if (b != depth) return kErrFormat;
+  if (depth != 8 && depth != 16) return kErrFormat;
+  if (rows_per_strip == 0) rows_per_strip = height;
+  if (strip_counts.size() != strip_offsets.size()) {
+    // StripByteCounts is technically required; tolerate its absence for a
+    // single full-image strip
+    if (strip_offsets.size() != 1) return kErrFormat;
+    strip_counts.assign(1, width * height * spp * (depth / 8));
+  }
+
+  const size_t bytes_per_px = spp * (depth / 8);
+  const size_t row_bytes = static_cast<size_t>(width) * bytes_per_px;
+  std::vector<uint8_t> raw(static_cast<size_t>(height) * row_bytes);
+  uint32_t row = 0;
+  for (size_t s = 0; s < strip_offsets.size() && row < height; ++s) {
+    uint32_t rows_here = std::min<uint32_t>(rows_per_strip, height - row);
+    size_t want = rows_here * row_bytes;
+    if (strip_counts[s] < want) want = strip_counts[s];
+    if (strip_offsets[s] + want > r.size) return kErrFormat;
+    std::memcpy(raw.data() + static_cast<size_t>(row) * row_bytes,
+                buf.data() + strip_offsets[s], want);
+    row += rows_here;
+  }
+  if (row < height) return kErrFormat;
+
+  img->h = static_cast<int>(height);
+  img->w = static_cast<int>(width);
+  img->channels = static_cast<int>(spp);
+  img->bit_depth = static_cast<int>(depth);
+  img->data.resize(static_cast<size_t>(height) * width);
+  for (uint32_t y = 0; y < height; ++y) {
+    const uint8_t* rp = raw.data() + static_cast<size_t>(y) * row_bytes;
+    for (uint32_t x = 0; x < width; ++x) {
+      uint32_t acc = 0;
+      for (uint32_t ch = 0; ch < spp; ++ch) {
+        if (depth == 16) {
+          size_t o = (static_cast<size_t>(x) * spp + ch) * 2;
+          acc += r.big_endian ? (uint16_t)((rp[o] << 8) | rp[o + 1])
+                              : (uint16_t)((rp[o + 1] << 8) | rp[o]);
+        } else {
+          acc += static_cast<uint16_t>(rp[x * spp + ch]) * 257;
+        }
+      }
+      img->data[static_cast<size_t>(y) * width + x] =
+          static_cast<uint16_t>(acc / spp);
+    }
+  }
+  return 0;
+}
+
 int decode_any(const char* path, Image* img) {
   std::string p(path);
   if (has_suffix(p, ".pgm") || has_suffix(p, ".PGM")) return decode_pgm(path, img);
+  if (has_suffix(p, ".tif") || has_suffix(p, ".TIF") ||
+      has_suffix(p, ".tiff") || has_suffix(p, ".TIFF"))
+    return decode_tiff(path, img);
   return decode_png(path, img);
 }
 
