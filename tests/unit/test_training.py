@@ -446,3 +446,58 @@ class TestResumeAndPrecision:
         tr, _ = _make_pipelines(n=16)
         m = trainer.train_epoch(tr, 0, jax.random.PRNGKey(0))
         assert np.isfinite(m["train_loss"])
+
+
+@pytest.mark.integration
+class TestReviewRegressions:
+    """Round-2 code-review findings: EMA-exact resume and Lightning integer
+    limit_*_batches semantics."""
+
+    @staticmethod
+    def _ema_trainer(mcfg, steps, out):
+        tcfg = {"epochs": 1, "batch_size": 8, "ema_decay": 0.9,
+                "optimizer_params": {"lr": 1e-3}, "scheduler_params": None,
+                "monitor_metric": "val_acc", "monitor_mode": "max",
+                "early_stopping_patience": 50}
+        return Trainer(ModelRegistry.create_model(mcfg), mcfg, tcfg,
+                       {"max_epochs": 1, "enable_checkpointing": False},
+                       steps_per_epoch=steps, output_dir=out)
+
+    def test_ema_survives_resume(self, tmp_path):
+        tr, va = _make_pipelines()
+        mcfg = {"name": "resnet18", "img_size": 32, "in_channels": 1,
+                "num_classes": 2}
+        t1 = self._ema_trainer(mcfg, tr.steps_per_epoch(), str(tmp_path))
+        assert t1.state.ema_params is not None
+        t1.fit(tr, va)
+        path = t1.save_state(tmp_path / "ema.ckpt")
+        t2 = self._ema_trainer(mcfg, tr.steps_per_epoch(), str(tmp_path))
+        t2.resume_from(path)
+        for a, b in zip(jax.tree.leaves(t1.state.ema_params),
+                        jax.tree.leaves(t2.state.ema_params)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        # trained EMA differs from both inits — the restore was not a no-op
+        a0 = jax.tree.leaves(t1.state.ema_params)[0]
+        p0 = jax.tree.leaves(t1.state.params)[0]
+        assert not np.array_equal(np.asarray(a0), np.asarray(p0))
+
+    def test_integer_limit_batches(self):
+        from thyroid_tpu.training.engine import _limit_batches
+
+        assert _limit_batches(1.0, 10) == 10       # float: fraction
+        assert _limit_batches(0.5, 10) == 5
+        assert _limit_batches(5, 10) == 5          # int: batch count
+        assert _limit_batches(1, 10) == 1          # int 1 = ONE batch
+        assert _limit_batches(0, 10) == 0          # int 0 disables
+        assert _limit_batches(50, 10) == 10        # capped at the epoch
+        assert _limit_batches(None, 10) == 10
+
+    def test_integer_limit_drives_train_epoch(self, tmp_path):
+        tr, _ = _make_pipelines()
+        mcfg = {"name": "resnet18", "img_size": 32, "in_channels": 1,
+                "num_classes": 2}
+        t = _trainer(mcfg, epochs=1, steps=tr.steps_per_epoch(),
+                     out=str(tmp_path))
+        t.cfg.limit_train_batches = 1
+        t.train_epoch(tr, 0, jax.random.PRNGKey(0))
+        assert t._global_step == 1

@@ -59,6 +59,21 @@ def multislice_mesh(
     if n > len(devices):
         raise ValueError(f"need {n} devices, have {len(devices)}")
     dev_array = np.asarray(devices[:n]).reshape(num_slices, data_per_slice)
+    # hard guarantee of the docstring's no-DCN-inside-'data' property: on
+    # real multi-slice hardware every row must sit inside ONE physical
+    # slice. A data_per_slice smaller than the hardware slice width would
+    # otherwise silently build rows straddling slice boundaries and route
+    # per-step gradient psums over DCN. (Virtual/CPU devices carry no
+    # slice_index — nothing to check there.)
+    for row in dev_array:
+        slice_ids = {getattr(d, "slice_index", None) for d in row}
+        slice_ids.discard(None)
+        if len(slice_ids) > 1:
+            raise ValueError(
+                f"mesh row {[str(d) for d in row]} spans physical slices "
+                f"{sorted(slice_ids)} — the '{data_axis}' axis would cross "
+                "DCN; use data_per_slice = chips-per-slice (or a divisor "
+                "aligned to slice boundaries)")
     return Mesh(dev_array, (slice_axis, data_axis))
 
 
@@ -104,6 +119,10 @@ def merge_slice_summaries(
             if values:
                 merged[f"avg_{key}"] = float(np.mean(values))
                 merged[f"std_{key}"] = float(np.std(values))
+    if not valid:
+        # mirror KFoldExperiment.aggregate_results' all-failed sentinel so
+        # downstream failure detection sees the same shape either way
+        merged["status"] = "All folds failed or no metrics"
     merged["num_successful_folds"] = len(valid)
     # each slice reports the FULL sweep's total_folds (it knows num_folds);
     # taking the max, not the sum, keeps the canonical count
@@ -151,11 +170,13 @@ def stacked_step(
       batch leaves:  (num_folds, per_fold_batch, ...) sharded P(slice, data)
 
     `jax.vmap` over the fold axis keeps every fold's compute independent;
-    the shardings pin fold i's state and data to slice i % num_slices, so
-    XLA's partitioner never materializes a cross-slice (DCN) collective —
-    gradient psums stay inside each slice's 'data' (ICI) group. If there are
-    more folds than slices, folds cycle over slices and run as a per-slice
-    batch (still one program).
+    the P(slice) shardings partition the fold axis in CONTIGUOUS blocks
+    (GSPMD blocking: 6 folds on 2 slices → folds 0-2 on slice 0, 3-5 on
+    slice 1 — NOT the round-robin that `partition_folds` uses for process
+    mode), so XLA's partitioner never materializes a cross-slice (DCN)
+    collective — gradient psums stay inside each slice's 'data' (ICI)
+    group. With more folds than slices each slice runs its block of folds
+    as a vmapped batch (still one program).
     """
     state_sh = NamedSharding(mesh, P(slice_axis))
     batch_sh = NamedSharding(mesh, P(slice_axis, data_axis))

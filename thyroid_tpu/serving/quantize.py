@@ -30,6 +30,16 @@ The reference has no serving subsystem at all (SURVEY §2); this is a
 deployment feature of the rebuild, validated by agreement tests
 (tests/unit/test_quantize.py) and gated behind explicit opt-in
 (`InferenceEngine(quantize="int8")`, `bench.py --quant int8`).
+
+CAVEAT (dynamic scales are batch-global): s_x = max|x|/127 is computed over
+the WHOLE batch, so in bucketed serving a sample's quantization grid — and
+therefore its logits near the decision boundary — depends on which other
+requests it was co-batched with. Identical requests can get slightly
+different probabilities across batches. Acceptable for an opt-in
+throughput path; a per-sample scale (axis-0 max) would restore request
+determinism at the cost of an extra broadcast multiply per layer. Measured
+on v5e the int8 path is SLOWER than bf16 anyway (docs/DESIGN.md), so it
+ships as a documented negative result, not a recommended mode.
 """
 from __future__ import annotations
 

@@ -52,6 +52,10 @@ def save_checkpoint(
     }
     if include_opt_state:
         payload["opt_state"] = jax.device_get(state.opt_state)
+        # exact resume must also carry the EMA shadow weights — without
+        # them a resumed run silently tracks EMA from the fresh init
+        if getattr(state, "ema_params", None) is not None:
+            payload["ema_params"] = jax.device_get(state.ema_params)
     _checkpointer().save(path, payload)
     if metadata is not None:
         with open(path / "metadata.json", "w") as f:

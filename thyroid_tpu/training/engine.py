@@ -88,6 +88,19 @@ class FitResult:
     stopped_epoch: int = 0
 
 
+def _limit_batches(limit, full: int) -> int:
+    """Lightning `limit_{train,val,test}_batches` semantics: an int is a
+    BATCH COUNT (0 disables, 5 = five batches), a float is a fraction of
+    the epoch (1.0 = everything)."""
+    if isinstance(limit, bool) or limit is None:
+        return full
+    if isinstance(limit, int):
+        return min(full, max(0, limit))
+    if float(limit) < 1.0:
+        return max(1, int(full * float(limit)))
+    return full
+
+
 class Trainer:
     """Builds the optimizer/state from configs and runs fit/validate/test."""
 
@@ -404,9 +417,8 @@ class Trainer:
         lbls: List = []
         wts: List = []
         alpha = jnp.float32(self._alpha_for_epoch(epoch))
-        limit = self.cfg.limit_train_batches
-        full_batches = pipeline.steps_per_epoch() if limit >= 1.0 else \
-            max(1, int(pipeline.steps_per_epoch() * limit))
+        full_batches = _limit_batches(self.cfg.limit_train_batches,
+                                      pipeline.steps_per_epoch())
         max_batches = full_batches
         if 0 < self.cfg.max_steps:
             max_batches = min(max_batches,
@@ -415,7 +427,11 @@ class Trainer:
         # final epoch would key a NEW whole-epoch program (1-5 min remote
         # compile here) just to run a few steps — the per-step path below
         # reuses the already-shaped _train_step for any truncation
+        # the scan program hardcodes train-pipeline behavior (shuffle,
+        # augment, weight-1 wraparound); an eval-style pipeline passed here
+        # must take the per-step fallback, which honors pipeline.train
         if self.cfg.scan_epoch and hasattr(pipeline, "_make_batch") \
+                and getattr(pipeline, "train", True) \
                 and max_batches == full_batches and max_batches > 0:
             fn = self._scan_train_fn(pipeline, max_batches)
             self.state, mstate, sc, lb = fn(self.state, mstate, rng, alpha)
@@ -444,11 +460,9 @@ class Trainer:
         lbls: List = []
         wts: List = []
         variables = self.state.variables(use_ema=use_ema)
-        n_eval = pipeline.steps_per_epoch()
         if limit_fraction is None:
             limit_fraction = self.cfg.limit_val_batches
-        if limit_fraction < 1.0:
-            n_eval = max(1, int(n_eval * limit_fraction))
+        n_eval = _limit_batches(limit_fraction, pipeline.steps_per_epoch())
         if self.cfg.scan_epoch and hasattr(pipeline, "_make_batch"):
             fn = self._scan_eval_fn(pipeline, n_eval)
             mstate, sc, lb, w = fn(variables, mstate)
@@ -606,6 +620,15 @@ class Trainer:
             leaves = jax.tree.leaves(payload["opt_state"])
             treedef = jax.tree.structure(template)
             replacements["opt_state"] = jax.tree.unflatten(treedef, leaves)
+        if payload.get("ema_params") is not None:
+            replacements["ema_params"] = payload["ema_params"]
+        elif self.state.ema_params is not None:
+            # older checkpoint without EMA: restart the shadow from the
+            # restored params (NOT the fresh init) — the closest exact
+            # state. Distinct buffers (jnp.array) so the donating epoch
+            # program never sees params/ema aliasing.
+            replacements["ema_params"] = jax.tree.map(
+                jnp.array, payload["params"])
         self.state = self.state.replace(**replacements)
         self._global_step = int(payload.get("step", 0))
 

@@ -60,7 +60,10 @@ def create_train_state(
         params=params,
         batch_stats=variables.get("batch_stats"),
         opt_state=tx.init(params),
-        ema_params=jax.tree.map(lambda x: x, params) if ema else None,
+        # jnp.copy, NOT identity: aliased param/ema buffers make the
+        # buffer-donating epoch program fail with "donate the same buffer
+        # twice" (the whole TrainState is donated in scan_epoch)
+        ema_params=jax.tree.map(jnp.copy, params) if ema else None,
         tx=tx,
         apply_fn=model.apply,
     )
