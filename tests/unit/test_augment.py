@@ -203,7 +203,7 @@ class TestPipelines:
     @pytest.mark.parametrize("level", ["none", "light", "medium", "heavy"])
     def test_ladder_levels(self, level):
         x = batch()
-        out = np.asarray(train_augment(x, KEY, level=level, img_size=64))
+        out = np.asarray(train_augment(x, KEY, level=level))
         assert out.shape == x.shape
         assert out.min() >= 0.0 and out.max() <= 1.0
 
@@ -218,3 +218,28 @@ class TestPipelines:
         assert np.allclose(np.asarray(views[0]), np.asarray(x))
         for v in views[1:]:
             assert not np.allclose(np.asarray(v), np.asarray(x))
+
+
+@pytest.mark.unit
+class TestBatchedOps:
+    """Regression: ops must work on real NHWC batches, not just B=1
+    (equalize's step term missed its broadcast axis), and multi-channel
+    patch drop must fill with the per-channel patch mean."""
+
+    def test_equalize_batch4_matches_per_image(self):
+        from thyroid_tpu.ops.augment import equalize
+
+        rs = np.random.RandomState(7)
+        x = jnp.asarray(rs.rand(4, 16, 16, 1).astype(np.float32))
+        batched = np.asarray(equalize(x))
+        for i in range(4):
+            single = np.asarray(equalize(x[i:i + 1]))[0]
+            np.testing.assert_allclose(batched[i], single, atol=1e-6)
+
+    def test_patch_drop_rgb_fills_in_range(self):
+        from thyroid_tpu.ops.augment import random_patch_drop
+
+        rs = np.random.RandomState(8)
+        x = jnp.asarray(rs.rand(2, 32, 32, 3).astype(np.float32))
+        out = np.asarray(random_patch_drop(x, jax.random.PRNGKey(0), p=1.0))
+        assert out.max() <= 1.0 + 1e-6 and out.min() >= -1e-6

@@ -127,8 +127,7 @@ class DevicePipeline:
             if self.augment_mode == "vit":
                 x = vit_augment(x, key, **self.vit_aug_params)
             else:
-                x = train_augment(x, key, level=self.augmentation_level,
-                                  img_size=self.img_size)
+                x = train_augment(x, key, level=self.augmentation_level)
         if self.out_channels == 3 and x.shape[-1] == 1:
             # pretrained-backbone branch: grayscale → 3-channel repeat
             # (reference: vit_transforms.py:381-384 Grayscale(num_output_channels=3))
@@ -172,11 +171,13 @@ class DevicePipeline:
 
 
 def _cfg_get(cfg: Any, key: str, default: Any = None) -> Any:
-    if hasattr(cfg, key):
-        return getattr(cfg, key)
-    if isinstance(cfg, dict):
-        return cfg.get(key, default)
-    return default
+    """Canonical config lookup (models.registry.cfg_get): mapping keys are
+    checked before attributes (dodging dict method-name collisions) and an
+    explicit None value falls back to the default — a hand-rolled variant
+    here used to return None for `mean: null`, crashing float() downstream."""
+    from ..models.registry import cfg_get
+
+    return cfg_get(cfg, key, default)
 
 
 def create_data_loaders(

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..data.corpus import generate_kfold_splits, scan_corpus
 from ..data.dataset import CARSThyroidDataset
-from ..data.pipeline import DevicePipeline
+from ..data.pipeline import DevicePipeline, create_data_loaders
 from ..models import ModelRegistry, cfg_get
 from ..models.base import create_and_init, num_parameters
 from ..training.checkpoint import create_teacher_from_config
@@ -107,8 +107,6 @@ class KFoldExperiment(BaseExperiment):
         img_size = int(cfg_get(self.model_config, "img_size", None)
                        or dcfg.get("img_size", 224))
         dcfg["img_size"] = img_size
-        from ..data.pipeline import create_data_loaders
-
         return create_data_loaders(dcfg, augment_mode=augment_mode,
                                    model_config=self.model_config)
 
@@ -137,7 +135,12 @@ class KFoldExperiment(BaseExperiment):
             pipelines["test"],
             checkpoint=fit.best_checkpoint)  # test best ckpt (reference :345)
         result: Dict[str, Any] = {"fold": fold, **test_metrics}
-        val_metrics = {k: v for k, v in (fit.history[-1] if fit.history else {}).items()
+        # val_* metrics from the BEST epoch — the epoch whose checkpoint the
+        # test metrics describe. (The reference logs Lightning's last-epoch
+        # callback metrics here, which can describe an overfit epoch the
+        # test never sees; aligning val and test to the same model is the
+        # deliberate fix.)
+        val_metrics = {k: v for k, v in self._best_epoch_row(fit).items()
                        if k.startswith("val_")}
         result.update(val_metrics)
         result["best_val_metric"] = fit.best_metric
@@ -146,6 +149,19 @@ class KFoldExperiment(BaseExperiment):
         if fit.best_checkpoint is not None:
             result["best_checkpoint"] = str(fit.best_checkpoint)
         return result
+
+    def _best_epoch_row(self, fit) -> Dict[str, Any]:
+        """History row of the monitored-best epoch (falls back to the last)."""
+        if not fit.history:
+            return {}
+        monitor = str(cfg_get(self.training_config, "monitor_metric",
+                              "val_acc"))
+        mode = str(cfg_get(self.training_config, "monitor_mode", "max"))
+        rows = [r for r in fit.history if monitor in r]
+        if not rows:
+            return fit.history[-1]
+        pick = max if mode == "max" else min
+        return pick(rows, key=lambda r: r[monitor])
 
     def run_stacked(self, folds) -> None:
         """All folds in ONE jitted program (training/stacked.py): states and
@@ -230,7 +246,10 @@ class KFoldExperiment(BaseExperiment):
         prefix = cfg_get(self.kfold_config, "experiment_name_prefix", name)
         self.aggregated_results["experiment_name"] = str(name)
         self.aggregated_results["model_name"] = str(prefix)
-        if self.distillation_config:
+        if self.distillation_config and \
+                cfg_get(self.distillation_config, "enabled", True):
+            # gate on `enabled` exactly like run_fold/run_stacked — a
+            # disabled distillation node must not label the run distilled
             self.aggregated_results["family"] = "distilled_vit"
             self.aggregated_results["student_model_name"] = \
                 str(cfg_get(self.model_config, "name", "unknown_student"))

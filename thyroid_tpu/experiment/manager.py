@@ -20,7 +20,6 @@ from ..config.node import ConfigNode
 from ..models import cfg_get
 from ..utils.logging import get_logger
 from .ablation_experiment import AblationExperiment
-from .all_models_experiment import AllModelsFullKFoldExperiment
 from .base_experiment import BaseExperiment
 from .kfold_experiment import KFoldExperiment
 
@@ -43,10 +42,12 @@ class ExperimentManager:
             from ..config.loader import load_model_config
 
             merged = cfg.copy()
-            for key in ("model", "dataset", "trainer", "training_content",
-                        "training", "kfold", "ablation", "distillation",
-                        "student_model", "params", "name",
-                        "experiment_class_path"):
+            # EVERY key of the experiment node is merged (Hydra experiment
+            # files may override any group — an allowlist silently dropped
+            # keys like output_dir/seed/augmentation); the group-merge vs
+            # replace distinction below only needs the known group names.
+            keys = list(exp_node.keys()) if hasattr(exp_node, "keys") else []
+            for key in keys:
                 v = cfg_get(exp_node, key, None)
                 if v is None:
                     continue

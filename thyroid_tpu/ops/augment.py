@@ -214,7 +214,8 @@ def equalize(x: jnp.ndarray) -> jnp.ndarray:
     last_idx = 255 - jnp.argmax(nonzero[:, ::-1], axis=1)
     last_count = jnp.take_along_axis(hist, last_idx[:, None], axis=1)[:, 0]
     step = jnp.floor((h * w * c - last_count) / 255.0)
-    lut = jnp.floor((cdf - hist / 2.0 + step / 2.0) / jnp.maximum(step, 1.0)[:, None])
+    lut = jnp.floor((cdf - hist / 2.0 + step[:, None] / 2.0)
+                    / jnp.maximum(step, 1.0)[:, None])
     lut = jnp.clip(lut, 0.0, 255.0)
     idx = x8.astype(jnp.int32).reshape(b, -1)
     out = jnp.take_along_axis(lut, idx, axis=1).reshape(b, h, w, c)
@@ -311,8 +312,12 @@ def random_patch_drop(
         in_patch = (
             (yy >= y0) & (yy < y0 + patch_size) & (xx >= x0) & (xx < x0 + patch_size)
         )
-        area = in_patch.sum(axis=(1, 2, 3), keepdims=True)
-        mean_val = (out * in_patch).sum(axis=(1, 2, 3), keepdims=True) / jnp.maximum(area, 1)
+        # per-channel patch mean: the numerator keeps C, the (B,1,1,1)
+        # area counts pixels once — summing C into the numerator would
+        # fill with C× the true mean on multi-channel input
+        area = in_patch.sum(axis=(1, 2), keepdims=True)
+        mean_val = (out * in_patch).sum(axis=(1, 2), keepdims=True) \
+            / jnp.maximum(area, 1)
         active = (i < n_active).reshape(b, 1, 1, 1) & gate
         out = jnp.where(active & in_patch, mean_val, out)
     return out
@@ -549,12 +554,11 @@ def mixup_cutmix(
 # composed pipelines (reference: src/data/transforms.py:214-330)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("level", "img_size"))
+@partial(jax.jit, static_argnames=("level",))
 def train_augment(
     x: jnp.ndarray,
     key: jax.Array,
     level: str = "medium",
-    img_size: int = 224,
 ) -> jnp.ndarray:
     """The light/medium/heavy augmentation ladder on [0,1] NHWC batches,
     mirroring get_training_transforms (reference: src/data/transforms.py:214-276).
