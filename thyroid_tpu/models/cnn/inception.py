@@ -36,8 +36,13 @@ class ConvBN(nn.Module):
         return nn.relu(x)
 
 
-def _branch_pool(x: jnp.ndarray) -> jnp.ndarray:
-    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+def _branch_pool(x: jnp.ndarray, count_include_pad: bool = True) -> jnp.ndarray:
+    """3x3 s1 SAME average-pool branch. torchvision inception_v3 divides by
+    the full window at borders (count_include_pad=True); Cadene/timm
+    inception_v4 divides by the number of REAL taps (False) — per-variant
+    flag so imported weights see the exact reference activations."""
+    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME",
+                       count_include_pad=count_include_pad)
 
 
 class InceptionA(nn.Module):
@@ -193,7 +198,8 @@ class InceptionV4A(nn.Module):
         b3 = ConvBN(64, (1, 1), dtype=self.dtype)(x, train)
         b3 = ConvBN(96, (3, 3), dtype=self.dtype)(b3, train)
         b3 = ConvBN(96, (3, 3), dtype=self.dtype)(b3, train)
-        b4 = ConvBN(96, (1, 1), dtype=self.dtype)(_branch_pool(x), train)
+        b4 = ConvBN(96, (1, 1), dtype=self.dtype)(
+            _branch_pool(x, count_include_pad=False), train)
         return jnp.concatenate([b1, b2, b3, b4], axis=-1)
 
 
@@ -211,7 +217,8 @@ class InceptionV4B(nn.Module):
         b3 = ConvBN(224, (1, 7), dtype=self.dtype)(b3, train)
         b3 = ConvBN(224, (7, 1), dtype=self.dtype)(b3, train)
         b3 = ConvBN(256, (1, 7), dtype=self.dtype)(b3, train)
-        b4 = ConvBN(128, (1, 1), dtype=self.dtype)(_branch_pool(x), train)
+        b4 = ConvBN(128, (1, 1), dtype=self.dtype)(
+            _branch_pool(x, count_include_pad=False), train)
         return jnp.concatenate([b1, b2, b3, b4], axis=-1)
 
 
@@ -226,12 +233,16 @@ class InceptionV4C(nn.Module):
         b2b = ConvBN(256, (3, 1), dtype=self.dtype)(b2, train)
         b2 = jnp.concatenate([b2a, b2b], axis=-1)
         b3 = ConvBN(384, (1, 1), dtype=self.dtype)(x, train)
-        b3 = ConvBN(448, (1, 3), dtype=self.dtype)(b3, train)
-        b3 = ConvBN(512, (3, 1), dtype=self.dtype)(b3, train)
-        b3a = ConvBN(256, (3, 1), dtype=self.dtype)(b3, train)
-        b3b = ConvBN(256, (1, 3), dtype=self.dtype)(b3, train)
+        # Cadene/timm inception_v4 Inception_C orientation: 448 via (3,1),
+        # 512 via (1,3), then the split heads (1,3)/(3,1) — the mirrored
+        # order breaks pretrained import (conv shape mismatch)
+        b3 = ConvBN(448, (3, 1), dtype=self.dtype)(b3, train)
+        b3 = ConvBN(512, (1, 3), dtype=self.dtype)(b3, train)
+        b3a = ConvBN(256, (1, 3), dtype=self.dtype)(b3, train)
+        b3b = ConvBN(256, (3, 1), dtype=self.dtype)(b3, train)
         b3 = jnp.concatenate([b3a, b3b], axis=-1)
-        b4 = ConvBN(256, (1, 1), dtype=self.dtype)(_branch_pool(x), train)
+        b4 = ConvBN(256, (1, 1), dtype=self.dtype)(
+            _branch_pool(x, count_include_pad=False), train)
         return jnp.concatenate([b1, b2, b3, b4], axis=-1)
 
 

@@ -148,7 +148,10 @@ def clahe_uint16(x: jnp.ndarray, clip_limit: float = 2.0,
     span = hi - lo
     norm01 = (img - lo) / (span + 1e-8)
     x8 = jnp.floor(norm01 * 255.0)                             # uint8 cast truncates
-    eq = clahe_8bit(x8, clip_limit=clip_limit, grid=grid)
+    # cv2's CLAHE returns uint8 (saturate_cast ROUNDS the interpolated
+    # LUT value); without this round the fractional residue is amplified
+    # ×(span/255) ≈ ×257 on the way back to the uint16 scale
+    eq = jnp.round(clahe_8bit(x8, clip_limit=clip_limit, grid=grid))
     out = eq / 255.0 * span + lo
     out = jnp.clip(out, 0.0, 65535.0)
     out = jnp.where(span <= 0, img, out)                       # flat image → identity

@@ -56,7 +56,11 @@ def _bilinear_weight_matrix(in_size: int, out_size: int) -> jnp.ndarray:
     fx = src - sx
     fx = jnp.where(sx < 0, 0.0, fx)
     sx = jnp.maximum(sx, 0)
-    fx = jnp.where(sx >= in_size - 1, 0.0, fx)
+    # src at/past the last pixel: clamp the PAIR down but move the full
+    # weight to the high tap (fx=1 → pixel in−1). Zeroing fx here (the old
+    # code) put full weight on pixel in−2 — wrong last row/column for every
+    # identity or upscale resize (cv2 clamps to the LAST pixel).
+    fx = jnp.where(sx >= in_size - 1, 1.0, fx)
     sx = jnp.minimum(sx, max(in_size - 2, 0)).astype(jnp.int32)
     i1 = jnp.minimum(sx + 1, in_size - 1)
     w0 = jax.nn.one_hot(sx, in_size, dtype=jnp.float32) * (1.0 - fx)[:, None]
@@ -210,11 +214,15 @@ def quality_issue_masks(
 # spatial filters (shifted-stack formulation — fully vectorised on the VPU)
 # ---------------------------------------------------------------------------
 
-def _shifted_stack(x: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """All (2r+1)² edge-padded spatial shifts of x, stacked on a new last axis.
-    x: (B,H,W,C) → (B,H,W,C,K)."""
+def _shifted_stack(x: jnp.ndarray, radius: int,
+                   pad_mode: str = "edge") -> jnp.ndarray:
+    """All (2r+1)² padded spatial shifts of x, stacked on a new last axis.
+    x: (B,H,W,C) → (B,H,W,C,K). pad_mode "edge" = cv2 BORDER_REPLICATE
+    (medianBlur); "reflect" = cv2 BORDER_REFLECT_101 (bilateralFilter's
+    default border)."""
     k = 2 * radius + 1
-    xp = jnp.pad(x, ((0, 0), (radius, radius), (radius, radius), (0, 0)), mode="edge")
+    xp = jnp.pad(x, ((0, 0), (radius, radius), (radius, radius), (0, 0)),
+                 mode=pad_mode)
     h, w = x.shape[1], x.shape[2]
     shifts = [
         jax.lax.dynamic_slice_in_dim(
@@ -243,12 +251,16 @@ def bilateral_filter(
     semantics, reference: src/data/quality_preprocessing.py:162-167). `x` is
     expected on the 0–255 scale for sigma_color to have the cv2 meaning."""
     radius = d // 2
-    stack = _shifted_stack(x, radius)
+    stack = _shifted_stack(x, radius, pad_mode="reflect")  # BORDER_REFLECT_101
     k = 2 * radius + 1
     dy, dx = jnp.meshgrid(
         jnp.arange(k) - radius, jnp.arange(k) - radius, indexing="ij"
     )
-    space_w = jnp.exp(-(dy**2 + dx**2) / (2.0 * sigma_space**2)).reshape(-1)
+    r2 = (dy**2 + dx**2).astype(jnp.float32)
+    space_w = jnp.exp(-r2 / (2.0 * sigma_space**2)).reshape(-1)
+    # cv2 iterates a CIRCULAR window: taps with sqrt(dy²+dx²) > radius are
+    # skipped entirely (bilateralFilter's "if r > radius continue")
+    space_w = jnp.where(jnp.sqrt(r2).reshape(-1) > radius, 0.0, space_w)
     color_w = jnp.exp(
         -jnp.square(stack - x[..., None]) / (2.0 * sigma_color**2)
     )
@@ -270,7 +282,10 @@ def suppress_artifacts(
     (max>250 in 8-bit), then back to uint16 scale (×256). Branchless: bilateral
     is computed for the whole batch and selected per image."""
     del median_size  # fixed 3×3, as in the reference params table
-    p_high = per_image_quantile(x, percentile / 100.0)
+    # bisection quantile (resolution < 0.02 on the uint16 scale): this runs
+    # on every pipeline batch, where an O(N log² N) TPU sort is the single
+    # most expensive primitive — see per_image_quantile's own guidance
+    p_high = per_image_quantile_fast(x, percentile / 100.0)
     clipped = jnp.clip(x, 0.0, p_high)
     x8 = jnp.floor(clipped / 256.0)  # uint8 cast truncates
     med = median_filter_3x3(x8)
