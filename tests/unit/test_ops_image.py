@@ -64,6 +64,35 @@ class TestScaleOps:
         want = np.array([np.quantile(x[i], 0.999) for i in range(3)])
         assert np.allclose(got, want, rtol=1e-3)
 
+    def test_per_image_quantiles_multiway(self):
+        from thyroid_tpu.ops.image import per_image_quantiles_multiway
+
+        x = u16_batch(3)
+        got = np.asarray(per_image_quantiles_multiway(
+            jnp.asarray(x), (0.01, 0.5, 0.99)))
+        assert got.shape == (3, 3)
+        for i in range(3):
+            want = np.quantile(x[i], [0.01, 0.5, 0.99])
+            # value-space search: resolution = range/16^6, plus the
+            # count-vs-interpolation semantic gap at small N
+            assert np.allclose(got[i], want, atol=np.ptp(x[i]) * 2e-3 + 40.0), \
+                (got[i], want)
+
+    def test_multiway_matches_bisection(self):
+        from thyroid_tpu.ops.image import (per_image_quantile_fast,
+                                           per_image_quantiles_multiway)
+
+        x = u16_batch(4)
+        multi = np.asarray(per_image_quantiles_multiway(
+            jnp.asarray(x), (0.01, 0.99)))
+        lo = np.asarray(per_image_quantile_fast(jnp.asarray(x), 0.01)).ravel()
+        hi = np.asarray(per_image_quantile_fast(jnp.asarray(x), 0.99)).ravel()
+        rng = np.ptp(x.reshape(4, -1), axis=1)
+        # both converge on the same count bracket; tolerance = each method's
+        # terminal bracket width
+        assert np.allclose(multi[:, 0], lo, atol=rng * 2 ** -20)
+        assert np.allclose(multi[:, 1], hi, atol=rng * 2 ** -20)
+
 
 @pytest.mark.unit
 class TestResize:

@@ -46,9 +46,15 @@ def prepare_images(
     """One-time fused preprocess: uint16-scale → [quality pipeline] → resize →
     per-image percentile normalisation → (N, S, S, 1) float32 in [0,1].
 
-    Processed in fixed-size chunks (lax.map) so the spatial-filter and CLAHE
-    intermediates stay bounded regardless of split size — a whole 450-image
-    split at 512² would otherwise materialise multi-GB temporaries."""
+    With the quality pipeline ON, work is processed in fixed-size chunks
+    (lax.map) so the spatial-filter and CLAHE intermediates stay bounded
+    regardless of split size — a whole 450-image split at 512² would
+    otherwise materialise multi-GB temporaries. With quality OFF the only
+    intermediate is the resize's separable first pass (~0.5 MB/image), so
+    the batch runs unchunked: the lax.map serialised the percentile
+    bisection into chunk-count× more tiny latency-bound reduce passes —
+    MEASURED on v5e at B=256: resize+normalize 4.42 ms/iter chunked vs
+    3.87 ms unchunked."""
 
     def one_chunk(x):
         x = to_uint16_scale(x)
@@ -58,6 +64,8 @@ def prepare_images(
         return adaptive_normalize(x, method="percentile", percentiles=(1.0, 99.0))
 
     n = raw.shape[0]
+    if not quality:
+        chunk = max(chunk, 512)
     if n <= chunk:
         return one_chunk(raw)
     pad = (-n) % chunk

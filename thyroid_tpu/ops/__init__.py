@@ -1,6 +1,7 @@
 from .image import (
     to_uint16_scale, normalize_uint16, resize_bilinear, gamma_correct,
-    anscombe, inverse_anscombe, per_image_quantile, per_image_quantile_fast, adaptive_normalize,
+    anscombe, inverse_anscombe, per_image_quantile, per_image_quantile_fast,
+    per_image_quantiles_multiway, adaptive_normalize,
     standardize, quality_stats, quality_issue_masks, median_filter_3x3,
     bilateral_filter, suppress_artifacts, gaussian_blur, elastic_deform,
     resize_and_normalize, UINT16_MAX,
@@ -10,7 +11,8 @@ from .quality import QualityParams, quality_preprocess, quality_preprocess_and_n
 
 __all__ = [
     "to_uint16_scale", "normalize_uint16", "resize_bilinear", "gamma_correct",
-    "anscombe", "inverse_anscombe", "per_image_quantile", "per_image_quantile_fast", "adaptive_normalize",
+    "anscombe", "inverse_anscombe", "per_image_quantile", "per_image_quantile_fast",
+    "per_image_quantiles_multiway", "adaptive_normalize",
     "standardize", "quality_stats", "quality_issue_masks", "median_filter_3x3",
     "bilateral_filter", "suppress_artifacts", "gaussian_blur", "elastic_deform",
     "resize_and_normalize", "UINT16_MAX", "clahe_8bit", "clahe_uint16",
