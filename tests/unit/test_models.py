@@ -188,3 +188,50 @@ class TestModelBehaviors:
         a, _, _ = forward(model, variables, x, train=False)
         b, _, _ = forward(model, variables, x, train=False)
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.unit
+class TestShiftDepthwiseConv:
+    """ops/depthwise.py must be numerically interchangeable with XLA's
+    depthwise conv_general_dilated (the MBConv param trees are shared)."""
+
+    @pytest.mark.parametrize("k,s,c", [(3, 1, 8), (3, 2, 8), (5, 1, 12),
+                                       (5, 2, 12)])
+    def test_matches_nn_conv(self, k, s, c):
+        import flax.linen as nn
+        from thyroid_tpu.ops.depthwise import shift_depthwise_conv
+
+        rs = np.random.RandomState(k * 10 + s)
+        x = jnp.asarray(rs.rand(2, 17, 17, c).astype(np.float32) * 2 - 1)
+        w = jnp.asarray(rs.rand(k, k, 1, c).astype(np.float32) * 0.5 - 0.25)
+        conv = nn.Conv(c, (k, k), strides=(s, s),
+                       padding=[(k // 2, k // 2)] * 2,
+                       feature_group_count=c, use_bias=False)
+        want = conv.apply({"params": {"kernel": w}}, x)
+        got = shift_depthwise_conv(x, w, strides=s)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_efficientnet_param_tree_unchanged(self):
+        """dw_shift must not move any param path (ckpt/importer contract)."""
+        a = create_and_init({"name": "efficientnet_b0", "img_size": 64,
+                             "dw_shift_conv": True}, jax.random.PRNGKey(0))[1]
+        b = create_and_init({"name": "efficientnet_b0", "img_size": 64,
+                             "dw_shift_conv": False}, jax.random.PRNGKey(0))[1]
+        pa = jax.tree_util.tree_flatten_with_path(a)[0]
+        pb = jax.tree_util.tree_flatten_with_path(b)[0]
+        assert [(k, v.shape) for k, v in pa] == [(k, v.shape) for k, v in pb]
+
+    def test_efficientnet_forward_equivalent(self):
+        mcfg = {"name": "efficientnet_b0", "img_size": 64}
+        model_a, va = create_and_init({**mcfg, "dw_shift_conv": True},
+                                      jax.random.PRNGKey(3))
+        model_b, _ = create_and_init({**mcfg, "dw_shift_conv": False},
+                                     jax.random.PRNGKey(3))
+        x = jnp.asarray(np.random.RandomState(1)
+                        .rand(2, 64, 64, 1).astype(np.float32))
+        la = model_a.apply(va, x, train=False)
+        lb = model_b.apply(va, x, train=False)  # same params, other impl
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=2e-4, rtol=1e-4)

@@ -58,12 +58,40 @@ class SqueezeExcite(nn.Module):
         return x * nn.sigmoid(s)
 
 
+class ShiftDepthwiseConv(nn.Module):
+    """Depthwise conv with nn.Conv-identical params (kernel (k,k,1,C), no
+    bias) computed as k² shifted multiply-accumulates (ops/depthwise.py).
+    MEASURED NEGATIVE RESULT on v5e (round 2): bench.py efficientnet_b0
+    bf16 B=256 drops 16.7k → 4.1k img/s with this path — XLA's
+    EmitDepthwiseAllBatchInLanes emitter beats the unrolled slice-MAC loop
+    fusion ~4× end-to-end despite dominating the device-time profile.
+    Kept as an opt-in (`dw_shift_conv: true`) with param path/shape
+    matching nn.Conv(feature_group_count=C) exactly, so checkpoints and
+    the torch importer are unaffected either way."""
+
+    features: int
+    kernel: int
+    strides: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ...ops.depthwise import shift_depthwise_conv
+
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, 1, self.features))
+        return shift_depthwise_conv(
+            x.astype(self.dtype), w.astype(self.dtype), self.strides)
+
+
 class MBConv(nn.Module):
     out_features: int
     expand_ratio: int
     kernel: int
     strides: int
     drop_path_rate: float = 0.0
+    dw_shift: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -72,24 +100,36 @@ class MBConv(nn.Module):
         residual = x
         h = x
         expanded = in_f * self.expand_ratio
+        n_conv = 0
         if self.expand_ratio != 1:
-            h = nn.Conv(expanded, (1, 1), use_bias=False, dtype=self.dtype)(h)
+            h = nn.Conv(expanded, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f"Conv_{n_conv}")(h)
+            n_conv += 1
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=self.dtype)(h)
             h = nn.silu(h)
         # torch-symmetric k//2 padding (timm non-TF variants), not XLA SAME —
         # SAME is asymmetric under stride 2, which breaks weight-import parity
         kp = self.kernel // 2
-        h = nn.Conv(expanded, (self.kernel, self.kernel),
-                    strides=(self.strides, self.strides),
-                    padding=[(kp, kp), (kp, kp)],
-                    feature_group_count=expanded, use_bias=False,
-                    dtype=self.dtype)(h)
+        if self.dw_shift:
+            # explicit Conv_{n} name keeps the param tree identical to the
+            # nn.Conv path (auto-naming counts per-class, which would shift)
+            h = ShiftDepthwiseConv(expanded, self.kernel, self.strides,
+                                   dtype=self.dtype,
+                                   name=f"Conv_{n_conv}")(h)
+        else:
+            h = nn.Conv(expanded, (self.kernel, self.kernel),
+                        strides=(self.strides, self.strides),
+                        padding=[(kp, kp), (kp, kp)],
+                        feature_group_count=expanded, use_bias=False,
+                        dtype=self.dtype, name=f"Conv_{n_conv}")(h)
+        n_conv += 1
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype)(h)
         h = nn.silu(h)
         h = SqueezeExcite(in_f, dtype=self.dtype)(h)
-        h = nn.Conv(self.out_features, (1, 1), use_bias=False, dtype=self.dtype)(h)
+        h = nn.Conv(self.out_features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name=f"Conv_{n_conv}")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype)(h)
         if self.strides == 1 and in_f == self.out_features:
@@ -105,6 +145,7 @@ class EfficientNet(nn.Module):
     drop_path_rate: float = 0.2
     num_classes: int = 2
     in_channels: int = 1
+    dw_shift: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -124,7 +165,8 @@ class EfficientNet(nn.Module):
             for i in range(round_repeats(repeats, self.depth_mult)):
                 dpr = self.drop_path_rate * block_idx / max(total_blocks, 1)
                 x = MBConv(out_f, expand, kernel, stride if i == 0 else 1,
-                           drop_path_rate=dpr, dtype=self.dtype,
+                           drop_path_rate=dpr, dw_shift=self.dw_shift,
+                           dtype=self.dtype,
                            name=f"mbconv{stage}_{i}")(x, train)
                 block_idx += 1
 
@@ -162,5 +204,6 @@ def build_efficientnet(cfg: Any) -> EfficientNet:
         drop_path_rate=float(cfg_get(cfg, "drop_path_rate", 0.2)),
         num_classes=int(cfg_get(cfg, "num_classes", 2)),
         in_channels=int(cfg_get(cfg, "in_channels", 1)),
+        dw_shift=bool(cfg_get(cfg, "dw_shift_conv", False)),
         dtype=resolve_dtype(cfg),
     )
