@@ -78,6 +78,19 @@ class TestScaleOps:
             assert np.allclose(got[i], want, atol=np.ptp(x[i]) * 2e-3 + 40.0), \
                 (got[i], want)
 
+    def test_fused_percentile_normalize_matches_xla_path(self):
+        # Pallas kernel (interpret mode on CPU) vs the 2×22-pass XLA
+        # bisection: same algorithm run VMEM-resident — bit-exact brackets
+        from thyroid_tpu.ops.percentile import fused_percentile_normalize
+
+        for b, h, w, c in [(8, 32, 32, 1), (3, 17, 19, 1), (12, 16, 16, 3),
+                           (68, 24, 24, 1)]:
+            x = jnp.asarray((RS.rand(b, h, w, c) * 65535).astype(np.float32))
+            ref = np.asarray(adaptive_normalize(x, "percentile",
+                                                use_kernel=False))
+            got = np.asarray(fused_percentile_normalize(x))
+            assert np.abs(ref - got).max() < 1e-5, (b, h, w, c)
+
     def test_multiway_matches_bisection(self):
         from thyroid_tpu.ops.image import (per_image_quantile_fast,
                                            per_image_quantiles_multiway)

@@ -6,6 +6,7 @@ from .image import (
     bilateral_filter, suppress_artifacts, gaussian_blur, elastic_deform,
     resize_and_normalize, UINT16_MAX,
 )
+from .percentile import fused_percentile_normalize
 from .clahe import clahe_8bit, clahe_uint16
 from .quality import QualityParams, quality_preprocess, quality_preprocess_and_normalize
 
@@ -15,7 +16,8 @@ __all__ = [
     "per_image_quantiles_multiway", "adaptive_normalize",
     "standardize", "quality_stats", "quality_issue_masks", "median_filter_3x3",
     "bilateral_filter", "suppress_artifacts", "gaussian_blur", "elastic_deform",
-    "resize_and_normalize", "UINT16_MAX", "clahe_8bit", "clahe_uint16",
+    "resize_and_normalize", "UINT16_MAX", "fused_percentile_normalize",
+    "clahe_8bit", "clahe_uint16",
     "QualityParams", "quality_preprocess", "quality_preprocess_and_normalize",
 ]
 
