@@ -85,6 +85,28 @@ class ShiftDepthwiseConv(nn.Module):
             x.astype(self.dtype), w.astype(self.dtype), self.strides)
 
 
+class PallasDepthwiseConv(nn.Module):
+    """Stride-1 depthwise conv as the VMEM-resident Pallas stencil kernel
+    (ops/depthwise_pallas.py). Param path/shape match
+    nn.Conv(feature_group_count=C) exactly — checkpoints, the torch
+    importer and the train path (which keeps XLA's conv + autodiff) are
+    unaffected. Grad-CAM-style grads flow through its custom_vjp."""
+
+    features: int
+    kernel: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ...ops.depthwise_pallas import depthwise_conv2d_pallas
+
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, 1, self.features))
+        return depthwise_conv2d_pallas(x.astype(self.dtype),
+                                       w.astype(self.dtype))
+
+
 class MBConv(nn.Module):
     out_features: int
     expand_ratio: int
@@ -92,6 +114,7 @@ class MBConv(nn.Module):
     strides: int
     drop_path_rate: float = 0.0
     dw_shift: bool = False
+    dw_pallas: bool | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -111,12 +134,19 @@ class MBConv(nn.Module):
         # torch-symmetric k//2 padding (timm non-TF variants), not XLA SAME —
         # SAME is asymmetric under stride 2, which breaks weight-import parity
         kp = self.kernel // 2
+        # default OFF: measured 2.8x SLOWER end-to-end on v5e (17.97k ->
+        # 6.4k img/s) — XLA's depthwise emitter is already at the VPU FMA
+        # ceiling with free tap addressing; see ops/depthwise_pallas.py
+        use_pallas = bool(self.dw_pallas)
         if self.dw_shift:
             # explicit Conv_{n} name keeps the param tree identical to the
             # nn.Conv path (auto-naming counts per-class, which would shift)
             h = ShiftDepthwiseConv(expanded, self.kernel, self.strides,
                                    dtype=self.dtype,
                                    name=f"Conv_{n_conv}")(h)
+        elif use_pallas and not train and self.strides == 1:
+            h = PallasDepthwiseConv(expanded, self.kernel, dtype=self.dtype,
+                                    name=f"Conv_{n_conv}")(h)
         else:
             h = nn.Conv(expanded, (self.kernel, self.kernel),
                         strides=(self.strides, self.strides),
@@ -146,6 +176,7 @@ class EfficientNet(nn.Module):
     num_classes: int = 2
     in_channels: int = 1
     dw_shift: bool = False
+    dw_pallas: bool | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -166,7 +197,7 @@ class EfficientNet(nn.Module):
                 dpr = self.drop_path_rate * block_idx / max(total_blocks, 1)
                 x = MBConv(out_f, expand, kernel, stride if i == 0 else 1,
                            drop_path_rate=dpr, dw_shift=self.dw_shift,
-                           dtype=self.dtype,
+                           dw_pallas=self.dw_pallas, dtype=self.dtype,
                            name=f"mbconv{stage}_{i}")(x, train)
                 block_idx += 1
 
@@ -205,5 +236,6 @@ def build_efficientnet(cfg: Any) -> EfficientNet:
         num_classes=int(cfg_get(cfg, "num_classes", 2)),
         in_channels=int(cfg_get(cfg, "in_channels", 1)),
         dw_shift=bool(cfg_get(cfg, "dw_shift_conv", False)),
+        dw_pallas=cfg_get(cfg, "dw_pallas_conv", None),
         dtype=resolve_dtype(cfg),
     )
