@@ -39,6 +39,16 @@ def main() -> None:
                         "headline number stays the exact bf16 model")
     args = p.parse_args()
 
+    if args.quality:
+        # axon quirk (measured, round 2): a single dispatch running longer
+        # than ~1 minute crashes the TPU worker (the pre-rewrite quality
+        # pipeline at ~62 ms/image hit it from B·iters ≥ 1024). The CLAHE
+        # one-hot rewrite (ops/clahe.py) runs ~3 ms/image, so the default
+        # 256×16 dispatch is ~12 s — safe — but cap the total on-device
+        # work as a guard; throughput math uses args.iters so the metric
+        # stays correct.
+        args.iters = min(args.iters, max(1, 8192 // args.batch_size))
+
     import jax
     import jax.numpy as jnp
 
