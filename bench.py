@@ -4,11 +4,13 @@
 Measures the driver's headline metric (BASELINE.json: ≥10,000 preprocessed
 224² images/sec/chip, preprocess + inference on device): raw 512×512 uint16
 frames → fused on-device preprocess (uint16 coercion → MXU bilinear resize →
-per-image bisection-percentile normalisation → standardisation) → model
-forward in bfloat16. Default model: efficientnet_b0 (measured ~16.5k img/s
-on the v5e chip); pass --model swin_tiny for the accuracy flagship
-(~3.1k img/s with the fused head-packed Pallas window-attention kernel,
-on by default on TPU — docs/DESIGN.md round-2 notes).
+per-image bisection-percentile normalisation, fused into one Pallas kernel
+on TPU → standardisation) → model forward in bfloat16. Default model:
+efficientnet_b0 (measured ~18.1k img/s on the v5e chip); pass --model
+swin_tiny for the accuracy flagship (~3.5k img/s with the fused
+head-packed Pallas window-attention kernel, on by default on TPU —
+docs/DESIGN.md round-2 notes). --quality runs the full quality-aware
+pipeline (~458 img/s after the round-2 CLAHE one-hot rewrite).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

@@ -88,6 +88,15 @@ class TestIntensityOps:
         want = np.asarray(ImageOps.equalize(Image.fromarray(img8)))
         assert np.abs(got - want.astype(np.float32)).max() <= 2.0
 
+    def test_equalize_onehot_equals_sort_path(self):
+        # TPU streaming formulation vs the host sort/gather formulation —
+        # must be numerically identical (and both PIL-golden via the
+        # test above)
+        x = jnp.asarray(RS.rand(3, 24, 28, 1).astype(np.float32))
+        a = np.asarray(equalize(x, method="onehot"))
+        b = np.asarray(equalize(x, method="sort"))
+        assert np.abs(a - b).max() < 1e-6
+
     def test_posterize_matches_pil(self):
         img8 = (RS.rand(32, 32) * 255).astype(np.uint8)
         got = np.round(np.asarray(posterize(

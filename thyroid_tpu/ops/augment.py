@@ -198,17 +198,35 @@ def auto_contrast(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.round(out), 0.0, 255.0) / 255.0
 
 
-def equalize(x: jnp.ndarray) -> jnp.ndarray:
+def equalize(x: jnp.ndarray, method: str | None = None) -> jnp.ndarray:
     """Global histogram equalisation on the 8-bit grid (TF.equalize
     semantics: LUT from the cumulative histogram, skipping the last nonzero
-    bin's contribution in the step size)."""
+    bin's contribution in the step size).
+
+    method "onehot" (TPU default): histogram as a fused one-hot
+    compare-reduce and the LUT application as a one-hot multiply-reduce —
+    on TPU the sort+searchsorted pair lowers to binary-search `while`
+    loops of scalar gathers and the per-pixel `take_along_axis` to ~7
+    cycles/element random access (same pathology measured for CLAHE,
+    ops/clahe.py). "sort" keeps the host-friendly formulation (CPU
+    default). Numerically identical paths (equivalence-tested)."""
+    if method is None:
+        from .tpu_platform import is_tpu
+
+        method = "onehot" if is_tpu() else "sort"
     b, h, w, c = x.shape
     x8 = jnp.clip(jnp.floor(x * 255.0), 0.0, 255.0)
-    flat = jnp.sort(x8.reshape(b, -1), axis=1)
-    edges = jnp.arange(256, dtype=x.dtype) + 0.5
-    cdf = jax.vmap(lambda s: jnp.searchsorted(s, edges, side="left"))(flat)
-    cdf = cdf.astype(jnp.float32)                               # (B, 256)
-    hist = jnp.diff(cdf, axis=1, prepend=0.0)
+    bins = jnp.arange(256, dtype=x.dtype)
+    if method == "onehot":
+        oh = x8.reshape(b, -1)[:, :, None] == bins             # (B, N, 256)
+        hist = jnp.sum(oh.astype(jnp.float32), axis=1)         # (B, 256)
+        cdf = jnp.cumsum(hist, axis=1)
+    else:
+        flat = jnp.sort(x8.reshape(b, -1), axis=1)
+        edges = bins + 0.5
+        cdf = jax.vmap(lambda s: jnp.searchsorted(s, edges, side="left"))(flat)
+        cdf = cdf.astype(jnp.float32)                          # (B, 256)
+        hist = jnp.diff(cdf, axis=1, prepend=0.0)
     # PIL/torchvision: step = (total - last_nonzero_count) // 255
     nonzero = hist > 0
     last_idx = 255 - jnp.argmax(nonzero[:, ::-1], axis=1)
@@ -217,8 +235,13 @@ def equalize(x: jnp.ndarray) -> jnp.ndarray:
     lut = jnp.floor((cdf - hist / 2.0 + step[:, None] / 2.0)
                     / jnp.maximum(step, 1.0)[:, None])
     lut = jnp.clip(lut, 0.0, 255.0)
-    idx = x8.astype(jnp.int32).reshape(b, -1)
-    out = jnp.take_along_axis(lut, idx, axis=1).reshape(b, h, w, c)
+    if method == "onehot":
+        out = jnp.sum(
+            (x8.reshape(b, -1)[:, :, None] == bins).astype(jnp.float32)
+            * lut[:, None, :], axis=-1).reshape(b, h, w, c)
+    else:
+        idx = x8.astype(jnp.int32).reshape(b, -1)
+        out = jnp.take_along_axis(lut, idx, axis=1).reshape(b, h, w, c)
     out = jnp.where((step > 0).reshape(b, 1, 1, 1), out, x8)
     return out / 255.0
 
