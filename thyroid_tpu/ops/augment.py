@@ -22,6 +22,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .image import gaussian_blur, per_image_quantile, elastic_deform
 
@@ -118,8 +119,28 @@ def affine_warp(
     return jnp.where(valid[..., None], out, fill)
 
 
-def rotate(x: jnp.ndarray, angles_deg: jnp.ndarray, fill: float = 0.0) -> jnp.ndarray:
-    """Rotate each image by its own angle (degrees, CCW)."""
+def _fast_warp_default() -> bool:
+    from .tpu_platform import is_tpu
+
+    return is_tpu()
+
+
+def rotate(x: jnp.ndarray, angles_deg: jnp.ndarray, fill: float = 0.0,
+           method: str | None = None) -> jnp.ndarray:
+    """Rotate each image by its own angle (degrees, CCW).
+
+    method "shear3" (TPU default, square images): gather-free rot90 +
+    3-shear decomposition (ops/warp.py — ~30x faster on TPU; interior
+    filtering differs from direct bilinear by ~1 grey level, a documented
+    deviation). "gather": direct bilinear affine warp (CPU default,
+    PIL-exact)."""
+    if method is None:
+        method = ("shear3" if _fast_warp_default()
+                  and x.shape[1] == x.shape[2] else "gather")
+    if method == "shear3":
+        from .warp import rotate_shear3
+
+        return rotate_shear3(x, angles_deg, fill=fill)
     theta = jnp.deg2rad(angles_deg)
     cos, sin = jnp.cos(theta), jnp.sin(theta)
     # inverse rotation matrix (output→input); positive angle = CCW (PIL/TF)
@@ -131,12 +152,13 @@ def rotate(x: jnp.ndarray, angles_deg: jnp.ndarray, fill: float = 0.0) -> jnp.nd
 
 
 def random_rotation(
-    x: jnp.ndarray, key: jax.Array, degrees: float = 90.0, fill: float = 0.0
+    x: jnp.ndarray, key: jax.Array, degrees: float = 90.0, fill: float = 0.0,
+    method: str | None = None,
 ) -> jnp.ndarray:
     """Uniform rotation in [-degrees, degrees] per image (reference ladder:
     T.RandomRotation — src/data/transforms.py:246)."""
     angles = jax.random.uniform(key, (x.shape[0],), minval=-degrees, maxval=degrees)
-    return rotate(x, angles, fill=fill)
+    return rotate(x, angles, fill=fill, method=method)
 
 
 def shear(x: jnp.ndarray, shear_x: jnp.ndarray, shear_y: jnp.ndarray,
@@ -382,11 +404,21 @@ def randaugment(
         return posterize(img, jnp.full((img.shape[0],), int(_mag(m, 8, 4))))
 
     def op_rotate(img, _):
-        return rotate(img, jnp.full((img.shape[0],), _mag(m, -30.0, 30.0)), fill=fill)
+        # gather path kept deliberately — see the measurement note below
+        return rotate(img, jnp.full((img.shape[0],), _mag(m, -30.0, 30.0)),
+                      fill=fill, method="gather")
 
     def op_sharpness(img, _):
         return adjust_sharpness(img, jnp.full((img.shape[0],), _mag(m, 0.05, 1.95)))
 
+    # NOTE (measured, v5e round 2): inside this function's vmapped
+    # lax.switch every branch executes for every image, and there the
+    # shifted-slice warps LOSE: routing rotate/shear/translate through
+    # ops/warp.py measured 106.6 ms/batch vs 28.8 ms with the affine
+    # gather ops below (the batched per-image advanced-indexing gather
+    # lowers efficiently here, unlike take_along_axis row gathers). The
+    # fast warps stay for the ladder path (train_augment), where they are
+    # 17x — don't re-route these without re-measuring.
     def op_shear_x(img, _):
         s = jnp.full((img.shape[0],), _mag(m, -0.3, 0.3))
         return shear(img, s, jnp.zeros_like(s), fill=fill)

@@ -14,6 +14,7 @@ branching on data, everything masked with `jnp.where`.
 """
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -428,16 +429,37 @@ def elastic_deform(
     key: jax.Array,
     alpha: float = 100.0,
     sigma: float = 10.0,
+    method: str | None = None,
 ) -> jnp.ndarray:
     """Elastic deformation: Gaussian-smoothed random displacement fields +
     bilinear sampling (reference: src/data/transforms.py:117-128, which uses
-    scipy gaussian_filter + map_coordinates)."""
+    scipy gaussian_filter + map_coordinates).
+
+    method "separable" (TPU default): gather-free two-pass resampling
+    through the shifted-slice primitive (ops/warp.py), with the field
+    clipped to a static bound covering >6 of its standard deviations
+    (σ_field ≈ α·0.58/(2σ√π)) — scipy's per-pixel gathers run
+    near-serially on TPU. DEVIATION: the x-displacement is evaluated at
+    the pre-shift coordinate (standard separable approximation, tiny for
+    these smooth fields). "gather": exact map_coordinates (CPU default).
+    The random fields are identical between methods (same key stream)."""
     b, h, w, c = x.shape
     k1, k2 = jax.random.split(key)
     dx = jax.random.uniform(k1, (b, h, w, 1), minval=-1.0, maxval=1.0)
     dy = jax.random.uniform(k2, (b, h, w, 1), minval=-1.0, maxval=1.0)
     dx = gaussian_blur(dx, sigma) * alpha
     dy = gaussian_blur(dy, sigma) * alpha
+    if method is None:
+        from .tpu_platform import is_tpu
+
+        method = "separable" if is_tpu() else "gather"
+    if method == "separable":
+        from .warp import elastic_separable
+
+        sigma_field = 0.5774 / (2.0 * float(sigma) * math.sqrt(math.pi))
+        bound = max(2, int(math.ceil(8.0 * alpha * sigma_field)))
+        return elastic_separable(x, dy[..., 0], dx[..., 0],
+                                 max_disp=min(bound, int(math.ceil(alpha))))
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
     coords_y = yy[None, :, :, None] + dy

@@ -1,0 +1,176 @@
+"""Gather-free image warps for TPU (rotation / shear / translate / elastic).
+
+The direct formulation of these ops — bilinear sampling through per-pixel
+2D gathers (`affine_warp`'s `img[iy, ix]`, scipy-style `map_coordinates`)
+— is catastrophically slow on TPU: element gathers execute near-serially
+(~10 cycles each), and the medium augmentation ladder measured **194
+img/s** at B=128·224² (658 ms/batch, ~51M gathers) against a 4.3k img/s
+model train step. Measured alternatives for the core "shift each row by
+its own fractional amount" primitive (B·H=28672 rows × 224, S=48, v5e):
+
+    element gather (take_along_axis)   132.9 ms/pass
+    per-row dynamic_slice (vmap)        26.9 ms/pass
+    UNROLLED SHIFTED-SLICE + SELECT      2.7 ms/pass   <-- this module
+
+The select decomposition walks the integer shift range once: every tap is
+a static shifted slice of the padded tensor (vector loads, no address
+computation) masked by `floor(shift) == k` — pure streaming VPU work that
+XLA fuses into a handful of passes.
+
+On top of that primitive:
+- `translate` / single-axis `shear`: EXACT — bilinear interpolation is
+  separable for per-row/per-image constant shifts, and edge-replicate
+  sampling + the half-pixel validity mask reproduce `affine_warp`'s
+  clamp+fill semantics bit-for-bit (equivalence-tested).
+- `rotate`: rot90 decomposition + the classic 3-shear factorisation
+  R(ρ) = ShearX(−tan ρ/2)·ShearY(sin ρ)·ShearX(−tan ρ/2) with residual
+  |ρ| ≤ 45°. DELIBERATE DEVIATION from direct bilinear rotation: three
+  1-D bilinear resamples filter slightly differently than one 2-D one
+  (interior agreement ~1 grey level; the validity mask and fill are the
+  exact ones). For stochastic augmentation this changes nothing
+  semantically; analysis paths that need PIL-exact rotation keep the
+  gather path (method="gather", CPU default).
+- elastic: separable two-pass displacement with the smooth field clipped
+  to a static ±D range (the field is a σ-blurred uniform scaled by α —
+  its std is ≈0.033·α at σ=5, so D covers >6 standard deviations).
+  DEVIATION: the x-displacement is evaluated at the pre-shift coordinate
+  (standard separable approximation for smooth fields).
+
+Reference anchor: torchvision RandomRotation / RandomAffine and scipy
+map_coordinates used by src/data/transforms.py:117-128,214-276.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def shift_axis_bilinear(
+    x: jnp.ndarray,
+    shifts: jnp.ndarray,
+    axis: int,
+    max_shift: int,
+    valid_fill: float | None = None,
+) -> jnp.ndarray:
+    """out = x sampled at (coord + shifts) along `axis`, bilinear.
+
+    x: (B, H, W, C); shifts broadcastable to (B, H, W) (per-image,
+    per-row, or per-pixel); axis: 1 (H) or 2 (W). Sampling clamps at the
+    edges (replicate) exactly like `affine_warp`'s index clip; when
+    `valid_fill` is not None, samples whose true (unclipped) source
+    coordinate falls outside [-0.5, size-0.5] get that fill value —
+    together these reproduce the gather path's semantics exactly.
+    """
+    b, h, w, c = x.shape
+    size = x.shape[axis]
+    s = int(max_shift)
+    shifts = jnp.broadcast_to(shifts, (b, h, w))
+    sh = jnp.clip(shifts, -s, s)
+    k = jnp.floor(sh)
+    f = (sh - k)[..., None]
+    ki = k.astype(jnp.int32)
+
+    pad = [(0, 0)] * 4
+    pad[axis] = (s, s + 1)
+    xp = jnp.pad(x, pad, mode="edge")
+
+    out = jnp.zeros_like(x)
+    nxt = jnp.zeros_like(x)
+    for kk in range(-s, s + 1):
+        sel = (ki == kk)[..., None]
+        sl = jax.lax.slice_in_dim(xp, kk + s, kk + s + size, axis=axis)
+        sl1 = jax.lax.slice_in_dim(xp, kk + s + 1, kk + s + 1 + size,
+                                   axis=axis)
+        out = jnp.where(sel, sl, out)
+        nxt = jnp.where(sel, sl1, nxt)
+    res = out * (1 - f) + nxt * f
+    if valid_fill is not None:
+        coord = jnp.arange(size, dtype=jnp.float32)
+        coord = coord.reshape((1, size, 1) if axis == 1 else (1, 1, size))
+        src = coord + shifts
+        valid = (src >= -0.5) & (src <= size - 0.5)
+        res = jnp.where(valid[..., None], res, valid_fill)
+    return res
+
+
+def shear_x_fast(x: jnp.ndarray, shx: jnp.ndarray, fill: float | None,
+                 max_shift: int | None = None) -> jnp.ndarray:
+    """x-shear about the centre: out[y, j] = x[y, j + shx·(y−cy)]."""
+    b, h, w, _ = x.shape
+    cy = (h - 1) / 2.0
+    rows = (jnp.arange(h, dtype=jnp.float32) - cy).reshape(1, h, 1)
+    shifts = shx.reshape(b, 1, 1) * rows
+    return shift_axis_bilinear(x, shifts, axis=2,
+                               max_shift=max_shift or w, valid_fill=fill)
+
+
+def shear_y_fast(x: jnp.ndarray, shy: jnp.ndarray, fill: float | None,
+                 max_shift: int | None = None) -> jnp.ndarray:
+    b, h, w, _ = x.shape
+    cx = (w - 1) / 2.0
+    cols = (jnp.arange(w, dtype=jnp.float32) - cx).reshape(1, 1, w)
+    shifts = shy.reshape(b, 1, 1) * cols
+    return shift_axis_bilinear(x, shifts, axis=1,
+                               max_shift=max_shift or h, valid_fill=fill)
+
+
+def rotate_shear3(x: jnp.ndarray, angles_deg: jnp.ndarray,
+                  fill: float = 0.0) -> jnp.ndarray:
+    """Per-image rotation (CCW, torchvision convention) via rot90 + the
+    3-shear factorisation of the residual |ρ| ≤ 45°. Requires square
+    images (rot90 about the pixel-grid centre). Validity mask and fill
+    come from the EXACT inverse-rotation coordinates."""
+    b, h, w, _ = x.shape
+    if h != w:
+        raise ValueError("rotate_shear3 needs square images")
+    theta = jnp.deg2rad(angles_deg)
+    # residual after removing quarter turns: rho in [-45, 45]
+    n90 = jnp.round(theta / (math.pi / 2.0))
+    rho = theta - n90 * (math.pi / 2.0)
+
+    # exact quarter-turn of the SOURCE: out = in∘R(theta) =
+    # (in∘R(n90·90°))∘R(rho); apply the quarter turn to the image first.
+    # jnp.rot90(img, k) rotates CCW by k·90°; sampling out(v)=g(R(90°)v)
+    # with R the inverse map corresponds to rotating the image CCW once.
+    n = (n90.astype(jnp.int32) % 4)
+    variants = jnp.stack(
+        [x, jnp.rot90(x, 1, axes=(1, 2)), jnp.rot90(x, 2, axes=(1, 2)),
+         jnp.rot90(x, 3, axes=(1, 2))], axis=0)     # (4, B, H, W, C)
+    sel = (jnp.arange(4).reshape(4, 1, 1, 1, 1) ==
+           n.reshape(1, b, 1, 1, 1))
+    g = jnp.sum(jnp.where(sel, variants, 0.0), axis=0)
+
+    t = -jnp.tan(rho / 2.0)
+    s = jnp.sin(rho)
+    # max |shift| for the static unroll: tan(22.5°)=0.4142, sin(45°)=0.7072
+    s_x = int(math.ceil(0.4143 * (h - 1) / 2.0)) + 1
+    s_y = int(math.ceil(0.7072 * (w - 1) / 2.0)) + 1
+    out = shear_x_fast(g, t, fill=None, max_shift=s_x)
+    out = shear_y_fast(out, s, fill=None, max_shift=s_y)
+    out = shear_x_fast(out, t, fill=None, max_shift=s_x)
+
+    # exact validity mask of the full rotation (same formula as the
+    # gather path's affine_warp)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32) - cy,
+                          jnp.arange(w, dtype=jnp.float32) - cx,
+                          indexing="ij")
+    cos = jnp.cos(theta).reshape(b, 1, 1)
+    sin = jnp.sin(theta).reshape(b, 1, 1)
+    sx_c = cos * xx[None] - sin * yy[None] + cx
+    sy_c = sin * xx[None] + cos * yy[None] + cy
+    valid = ((sx_c >= -0.5) & (sx_c <= w - 0.5)
+             & (sy_c >= -0.5) & (sy_c <= h - 0.5))
+    return jnp.where(valid[..., None], out, fill)
+
+
+def elastic_separable(x: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray,
+                      max_disp: int) -> jnp.ndarray:
+    """Two-pass elastic resampling with per-pixel smooth displacement
+    fields dy/dx of shape (B, H, W); clamp-at-edge semantics
+    (map_coordinates mode="nearest"). Fields are clipped to ±max_disp."""
+    out = shift_axis_bilinear(x, dy, axis=1, max_shift=max_disp)
+    return shift_axis_bilinear(out, dx, axis=2, max_shift=max_disp)
