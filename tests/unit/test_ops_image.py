@@ -175,6 +175,27 @@ class TestCLAHE:
                                       method="gather"))
             assert np.abs(a - b).max() < 1e-4, grid
 
+    def test_pallas_equals_gather_path(self):
+        # single-compare Pallas quadrant kernel (interpret mode on CPU)
+        # against both reference formulations
+        img = (RS.rand(2, 128, 128) * 255).astype(np.float32)
+        for grid in [(8, 8), (16, 16), (4, 8)]:
+            a = np.asarray(clahe_8bit(jnp.asarray(np.floor(img)),
+                                      clip_limit=2.0, grid=grid,
+                                      method="pallas"))
+            b = np.asarray(clahe_8bit(jnp.asarray(np.floor(img)),
+                                      clip_limit=2.0, grid=grid,
+                                      method="gather"))
+            assert np.abs(a - b).max() < 1e-4, grid
+
+    def test_pallas_matches_cv2_8bit(self):
+        img = (RS.rand(64, 64) * 255).astype(np.uint8)
+        got = np.asarray(clahe_8bit(jnp.asarray(img[None].astype(np.float32)),
+                                    clip_limit=2.0, grid=(8, 8),
+                                    method="pallas"))[0]
+        want = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8)).apply(img)
+        assert np.abs(got - want.astype(np.float32)).max() <= 1.0
+
     def test_matches_cv2_low_clip(self):
         img = (RS.rand(64, 64) * 40 + 100).astype(np.uint8)  # low contrast
         got = np.asarray(clahe_8bit(jnp.asarray(img[None].astype(np.float32)),
