@@ -94,7 +94,17 @@ def _tile_cdfs(x8: jnp.ndarray, grid: tuple[int, int], clip_limit: float,
     )
     redistributed = clipped + batch_inc + residual_inc
 
-    cdf = jnp.cumsum(redistributed, axis=-1)
+    if _is_tpu():
+        # cumsum over the 256 bins lowers to a 256-wide reduce-window
+        # (~4.4 ms/iter at B=32·512² across the two pipeline CLAHE calls);
+        # as a triangular matmul the MXU does it in ~0.02 ms. Exact: all
+        # values are integer-valued f32 with sums < 2²⁴.
+        tri = jnp.triu(jnp.ones((256, 256), jnp.float32))
+        cdf = jax.lax.dot_general(
+            redistributed.reshape(-1, 256), tri, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(redistributed.shape)
+    else:
+        cdf = jnp.cumsum(redistributed, axis=-1)
     # cv2 LUT: saturate_cast<uchar>(cdf * (255 / area))
     luts = jnp.clip(jnp.round(cdf * (255.0 / area)), 0.0, 255.0)
     return luts
@@ -152,59 +162,63 @@ def _interp_luts_onehot(x8: jnp.ndarray, luts: jnp.ndarray,
     return out.transpose(0, 1, 3, 2, 4).reshape(b, h, w)
 
 
-def _quadrant_apply_kernel(x_ref, luts_ref, o_ref, top_scr, bot_scr, *,
+def _quadrant_apply_kernel(x_ref, ltop_ref, lbot_ref, o_ref, tab_scr, *,
                            tile_hw: tuple[int, int], n_h2: int):
     """One half-block ROW of the quadrant LUT apply, fully VMEM-resident.
 
     The XLA one-hot formulation recomputes the (pixels, 256) compare for
     every corner (the materialised one-hot would be ~2 GB at B=32·512², so
     XLA must rematerialise it inside each corner's reduce fusion — ~33 ms of
-    the round-2 profile). Here the compare runs ONCE per bin with the pixel
-    block in its natural (sublane, lane) layout, and the x-direction blend
-    is folded into per-(bin, lane) LUT rows BEFORE the selection, so each of
-    the 256 loop steps is 4 streaming VPU ops (cmp, cvt, 2 fma) on the
-    (t2h, W) block — no relayouts, no gathers.
+    the round-2 profile). Here:
 
-    x_ref:    (1, t2h, W)  pixel values 0..255 (one half-block row)
-    luts_ref: (1, 4·256, W2) corner LUT planes [f00; f01; f10; f11],
-              compact over half-block columns
+    * the two neighbouring TILE ROWS of raw LUTs arrive via computed
+      BlockSpec index maps (y0/y1 of cv2's clamped half-tile indexing) — no
+      corner-plane materialisation in HBM (at grid 32×32 that array would
+      be 512 MB/iter of traffic);
+    * the x-direction bilinear blend is folded into the lane-expansion
+      matmul: tab = [ltop; lbot]ᵀ·E where E[g, x] = (g==x0(x))·(1−wx(x)) +
+      (g==x1(x))·wx(x) — one MXU pass produces the 512 per-(bin, lane)
+      blended LUT rows;
+    * the pixel compare runs ONCE per bin with the block in its natural
+      (sublane, lane) layout: each of the 256 loop steps is 4 streaming VPU
+      ops (cmp, cvt, 2 fma) on the (t2h, W) block — no relayouts, no
+      gathers.
+
+    x_ref: (1, t2h, W) pixel values 0..255; ltop/lbot: (1, 1, gw, 256).
     """
     th, tw = tile_hw
     t2h, t2w = th // 2, tw // 2
     x = x_ref[0].astype(jnp.float32)                      # (t2h, W)
     w = x.shape[1]
-    w2 = luts_ref.shape[2]
+    gw = ltop_ref.shape[2]
 
-    # Lane-expand the compact (…, W2) LUT columns to full width with a
-    # one-hot expansion matmul (per-element lane repeat does not exist as a
-    # vector op; the MXU does it in one (1024, W2)·(W2, W) pass).
-    lane_block = jax.lax.broadcasted_iota(jnp.int32, (w2, w), 1) // t2w
-    rows = jax.lax.broadcasted_iota(jnp.int32, (w2, w), 0)
-    expand = (lane_block == rows).astype(jnp.float32)
-    big = jax.lax.dot(luts_ref[0].astype(jnp.float32), expand,
-                      preferred_element_type=jnp.float32)  # (4·256, W)
-    f00, f01 = big[0:256], big[256:512]
-    f10, f11 = big[512:768], big[768:1024]
-
-    # cv2 half-tile blend weights are analytic in the pixel position:
-    # wx = frac(x/tw − 0.5) = rx/tw (+0.5 on even half-columns); same for wy
-    # with the row's half-block parity from the program id.
-    xpos = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    # blend weights + clamped neighbour-column indices, analytic per lane
+    xpos = jax.lax.broadcasted_iota(jnp.int32, (gw, w), 1)
+    hx = xpos // t2w
+    x0 = jnp.clip((hx - 1) // 2, 0, gw - 1)
+    x1 = jnp.clip((hx - 1) // 2 + 1, 0, gw - 1)
     rx = (xpos % t2w).astype(jnp.float32) / tw
-    wx = jnp.where((xpos // t2w) % 2 == 0, rx + 0.5, rx)   # (1, W)
+    wx = jnp.where(hx % 2 == 0, rx + 0.5, rx)              # (gw, W)
+    g = jax.lax.broadcasted_iota(jnp.int32, (gw, w), 0)
+    expand = (jnp.where(g == x0, 1.0 - wx, 0.0)
+              + jnp.where(g == x1, wx, 0.0))               # (gw, W)
+
+    lut2 = jnp.concatenate([ltop_ref[0, 0], lbot_ref[0, 0]],
+                           axis=1).astype(jnp.float32)     # (gw, 512)
+    tab_scr[:] = jax.lax.dot_general(
+        lut2, expand, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (512, W)
+
     hy = pl.program_id(0) % n_h2
     ry = jax.lax.broadcasted_iota(jnp.int32, (t2h, 1), 0).astype(
         jnp.float32) / th
     wy = jnp.where(hy % 2 == 0, ry + 0.5, ry)              # (t2h, 1)
 
-    top_scr[:] = f00 * (1.0 - wx) + f01 * wx               # (256, W)
-    bot_scr[:] = f10 * (1.0 - wx) + f11 * wx
-
     def body(k, carry):
         acc_t, acc_b = carry
         m = (x == k.astype(jnp.float32)).astype(jnp.float32)
-        t_row = top_scr[pl.ds(k, 1), :]                    # (1, W)
-        b_row = bot_scr[pl.ds(k, 1), :]
+        t_row = tab_scr[pl.ds(k, 1), :]                    # (1, W)
+        b_row = tab_scr[pl.ds(k + 256, 1), :]
         return acc_t + m * t_row, acc_b + m * b_row
 
     zero = jnp.zeros_like(x)
@@ -227,23 +241,15 @@ def _interp_luts_pallas(x8: jnp.ndarray, luts: jnp.ndarray,
     gh, gw = grid
     th, tw = h // gh, w // gw
     t2h, t2w = th // 2, tw // 2
-    H2, W2 = 2 * gh, 2 * gw
+    H2 = 2 * gh
 
-    import numpy as np
+    def top_map(i):
+        hy = i % H2
+        return (i // H2, jnp.clip((hy - 1) // 2, 0, gh - 1), 0, 0)
 
-    hy = np.arange(H2)
-    hx = np.arange(W2)
-    y0 = np.clip((hy - 1) // 2, 0, gh - 1)
-    y1 = np.clip((hy - 1) // 2 + 1, 0, gh - 1)
-    x0 = np.clip((hx - 1) // 2, 0, gw - 1)
-    x1 = np.clip((hx - 1) // 2 + 1, 0, gw - 1)
-
-    def corner(yi, xi):
-        return luts[:, yi][:, :, xi]                       # (b, H2, W2, 256)
-
-    planes = jnp.stack([corner(y0, x0), corner(y0, x1),
-                        corner(y1, x0), corner(y1, x1)], axis=2)
-    planes = planes.transpose(0, 1, 2, 4, 3).reshape(b * H2, 4 * 256, W2)
+    def bot_map(i):
+        hy = i % H2
+        return (i // H2, jnp.clip((hy - 1) // 2 + 1, 0, gh - 1), 0, 0)
 
     xrows = jnp.clip(x8, 0, 255).reshape(b * H2, t2h, w)
     kernel = partial(_quadrant_apply_kernel, tile_hw=(th, tw), n_h2=H2)
@@ -253,19 +259,18 @@ def _interp_luts_pallas(x8: jnp.ndarray, luts: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, t2h, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4 * 256, W2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, gw, 256), top_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, gw, 256), bot_map, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, t2h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * H2, t2h, w), x8.dtype),
-        scratch_shapes=[pltpu.VMEM((256, w), jnp.float32),
-                        pltpu.VMEM((256, w), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((512, w), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            allow_input_fusion=(True, False)),
+            allow_input_fusion=(True, False, False)),
         interpret=interpret,
-    )(xrows, planes)
+    )(xrows, luts.reshape(b, gh, gw, 256), luts.reshape(b, gh, gw, 256))
     return out.reshape(b, h, w)
 
 
