@@ -162,7 +162,7 @@ def _interp_luts_onehot(x8: jnp.ndarray, luts: jnp.ndarray,
     return out.transpose(0, 1, 3, 2, 4).reshape(b, h, w)
 
 
-def _quadrant_apply_kernel(x_ref, ltop_ref, lbot_ref, o_ref, tab_scr, *,
+def _quadrant_apply_kernel(x_ref, ltop_ref, lbot_ref, o_ref, *,
                            tile_hw: tuple[int, int], n_h2: int):
     """One half-block ROW of the quadrant LUT apply, fully VMEM-resident.
 
@@ -179,12 +179,16 @@ def _quadrant_apply_kernel(x_ref, ltop_ref, lbot_ref, o_ref, tab_scr, *,
       matmul: tab = [ltop; lbot]ᵀ·E where E[g, x] = (g==x0(x))·(1−wx(x)) +
       (g==x1(x))·wx(x) — one MXU pass produces the 512 per-(bin, lane)
       blended LUT rows;
-    * the pixel compare runs ONCE per bin with the block in its natural
-      (sublane, lane) layout: each of the 256 loop steps is 4 streaming VPU
-      ops (cmp, cvt, 2 fma) on the (t2h, W) block — no relayouts, no
-      gathers.
+    * the per-pixel table lookup tab[x] is a CHUNKED BIT-SELECT TREE over
+      the pixel value's 8 bits: 8 chunks of 32 leaf rows collapse through
+      5 select levels, then 3 more selects pick the chunk — 255 vector
+      selects total on the (t2h, 2W) [top|bot] pair instead of 256
+      compare+fma steps (the one-hot k-loop's 1024 VPU ops). Pure
+      selection, so the result is tab[x] exactly. The block stays in its
+      natural (sublane, lane) layout throughout — no relayouts, no gathers.
 
-    x_ref: (1, t2h, W) pixel values 0..255; ltop/lbot: (1, 1, gw, 256).
+    x_ref: (1, t2h, W) integer-valued pixels 0..255; ltop/lbot:
+    (1, 1, gw, 256).
     """
     th, tw = tile_hw
     t2h, t2w = th // 2, tw // 2
@@ -203,27 +207,38 @@ def _quadrant_apply_kernel(x_ref, ltop_ref, lbot_ref, o_ref, tab_scr, *,
     expand = (jnp.where(g == x0, 1.0 - wx, 0.0)
               + jnp.where(g == x1, wx, 0.0))               # (gw, W)
 
-    lut2 = jnp.concatenate([ltop_ref[0, 0], lbot_ref[0, 0]],
-                           axis=1).astype(jnp.float32)     # (gw, 512)
-    tab_scr[:] = jax.lax.dot_general(
-        lut2, expand, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # (512, W)
+    top = jax.lax.dot_general(
+        ltop_ref[0, 0].astype(jnp.float32), expand, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (256, W)
+    bot = jax.lax.dot_general(
+        lbot_ref[0, 0].astype(jnp.float32), expand, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    tab = jnp.concatenate([top, bot], axis=1)              # (256, 2W)
 
     hy = pl.program_id(0) % n_h2
     ry = jax.lax.broadcasted_iota(jnp.int32, (t2h, 1), 0).astype(
         jnp.float32) / th
     wy = jnp.where(hy % 2 == 0, ry + 0.5, ry)              # (t2h, 1)
 
-    def body(k, carry):
-        acc_t, acc_b = carry
-        m = (x == k.astype(jnp.float32)).astype(jnp.float32)
-        t_row = tab_scr[pl.ds(k, 1), :]                    # (1, W)
-        b_row = tab_scr[pl.ds(k + 256, 1), :]
-        return acc_t + m * t_row, acc_b + m * b_row
+    xi = jnp.concatenate([x, x], axis=1).astype(jnp.int32)  # (t2h, 2W)
+    bits = [((xi >> j) & 1) == 1 for j in range(8)]
 
-    zero = jnp.zeros_like(x)
-    acc_t, acc_b = jax.lax.fori_loop(0, 256, body, (zero, zero))
-    o_ref[0] = (acc_t * (1.0 - wy) + acc_b * wy).astype(o_ref.dtype)
+    # 8 chunks of 32 leaves → 5 select levels each, 3 levels across chunks.
+    # Chunking bounds live intermediates to 16 (t2h, 2W) arrays.
+    chunks = []
+    for c in range(8):
+        lvl = [tab[c * 32 + i: c * 32 + i + 1, :] for i in range(32)]
+        for j in range(5):
+            lvl = [jnp.where(bits[j], lvl[2 * i + 1], lvl[2 * i])
+                   for i in range(len(lvl) // 2)]
+        chunks.append(lvl[0])
+    for j in range(5, 8):
+        chunks = [jnp.where(bits[j], chunks[2 * i + 1], chunks[2 * i])
+                  for i in range(len(chunks) // 2)]
+    res = chunks[0]                                        # (t2h, 2W)
+    w_lanes = x.shape[1]
+    o_ref[0] = (res[:, :w_lanes] * (1.0 - wy)
+                + res[:, w_lanes:] * wy).astype(o_ref.dtype)
 
 
 def _interp_luts_pallas(x8: jnp.ndarray, luts: jnp.ndarray,
@@ -265,7 +280,6 @@ def _interp_luts_pallas(x8: jnp.ndarray, luts: jnp.ndarray,
         out_specs=pl.BlockSpec((1, t2h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * H2, t2h, w), x8.dtype),
-        scratch_shapes=[pltpu.VMEM((512, w), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             allow_input_fusion=(True, False, False)),
