@@ -35,6 +35,10 @@ def main() -> None:
     p.add_argument("--quality", action="store_true",
                    help="include the full quality-aware pipeline")
     p.add_argument("--dtype", default="bf16")
+    p.add_argument("--swin-window", type=int, default=None,
+                   help="override Swin window size (e.g. 8: MXU-aligned "
+                        "64-token windows as a deliberate deviation from "
+                        "the reference's 7)")
     p.add_argument("--quant", default=None, choices=["int8"],
                    help="serve Dense/Conv contractions in int8 (PTQ, "
                         "serving/quantize.py); off by default — the "
@@ -60,6 +64,8 @@ def main() -> None:
 
     mcfg = {"name": args.model, "img_size": args.img_size, "in_channels": 1,
             "num_classes": 2, "dtype": args.dtype}
+    if args.swin_window is not None:
+        mcfg["window_size"] = args.swin_window
     if args.model.startswith("swin") and args.dtype == "bf16":
         # serving fast path: bf16 attention softmax (halves HBM traffic on
         # the attention tensor; measured +35% on swin_tiny, ≤7e-6 output diff)

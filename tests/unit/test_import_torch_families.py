@@ -99,6 +99,10 @@ class TimmSwinBlock(tnn.Module):
         if min(res) <= ws:
             ws, shift = min(res), 0
         self.res, self.ws, self.shift = res, ws, shift
+        # reference-style zero-pad to window multiples
+        # (src/models/vit/swin_transformer.py:256-262)
+        self.pad_b = (-res[0]) % ws
+        self.pad_r = (-res[1]) % ws
         self.norm1 = tnn.LayerNorm(dim)
         self.attn = TimmWindowAttention(dim, ws, heads)
         self.norm2 = tnn.LayerNorm(dim)
@@ -106,7 +110,7 @@ class TimmSwinBlock(tnn.Module):
         self.mlp.fc1 = tnn.Linear(dim, dim * 4)
         self.mlp.fc2 = tnn.Linear(dim * 4, dim)
         if shift > 0:
-            h, w = res
+            h, w = res[0] + self.pad_b, res[1] + self.pad_r
             img_mask = torch.zeros(1, h, w, 1)
             cnt = 0
             for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
@@ -125,13 +129,18 @@ class TimmSwinBlock(tnn.Module):
         b, l, c = x.shape
         shortcut = x
         x = self.norm1(x).view(b, h, w, c)
+        if self.pad_b or self.pad_r:
+            x = F.pad(x, (0, 0, 0, self.pad_r, 0, self.pad_b))
+        hp, wp = h + self.pad_b, w + self.pad_r
         if self.shift > 0:
             x = torch.roll(x, (-self.shift, -self.shift), dims=(1, 2))
         wins = _win_part(x, self.ws)
         wins = self.attn(wins, self.attn_mask)
-        x = _win_rev(wins, self.ws, h, w)
+        x = _win_rev(wins, self.ws, hp, wp)
         if self.shift > 0:
             x = torch.roll(x, (self.shift, self.shift), dims=(1, 2))
+        if self.pad_b or self.pad_r:
+            x = x[:, :h, :w]
         x = shortcut + x.reshape(b, l, c)
         return x + self.mlp.fc2(F.gelu(self.mlp.fc1(self.norm2(x))))
 
@@ -208,6 +217,26 @@ class TestSwinImport:
             jax.random.PRNGKey(0))
         merged = merge_imported(variables, imported)
         _equiv(model, merged, tmodel, 32, 3, atol=2e-3)
+
+    def test_forward_equivalence_padded_windows(self):
+        # img 48 / ws 8: stage-1 maps are 12×12 → zero-padded to 16×16
+        # inside each block (reference swin_transformer.py:256-262); the
+        # flax pad path must match torch semantics exactly.
+        torch.manual_seed(1)
+        tmodel = TimmSwin(img=48, ws=8).eval()
+        assert tmodel.layers[0].blocks[0].pad_b == 4  # pad path exercised
+        imported = import_swin(tmodel.state_dict(), in_channels=3,
+                               num_classes=2)
+        model, variables = create_and_init(
+            {"name": "swin_tiny", "img_size": 48, "in_channels": 3,
+             "num_classes": 2,
+             "params": {"patch_size": 4, "embed_dim": 16,
+                        "depths": [2, 2], "num_heads": [2, 2],
+                        "window_size": 8, "drop_path_rate": 0.0,
+                        "drop_rate": 0.0}},
+            jax.random.PRNGKey(0))
+        merged = merge_imported(variables, imported)
+        _equiv(model, merged, tmodel, 48, 3, atol=2e-3)
 
     def test_gray_adaptation_and_head_skip(self):
         tmodel = TimmSwin(classes=1000).eval()

@@ -191,6 +191,35 @@ class TestModelBehaviors:
 
 
 @pytest.mark.unit
+class TestResNetHelpers:
+    """Reference's retained helper modules (src/models/cnn/resnet.py:24-52)."""
+
+    def test_spatial_attention_gates_features(self):
+        from thyroid_tpu.models.cnn.resnet import SpatialAttention
+
+        mod = SpatialAttention()
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 16)
+                        .astype(np.float32))
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        attended, attention = mod.apply(variables, x)
+        assert attended.shape == x.shape
+        assert attention.shape == (2, 8, 8, 1)
+        a = np.asarray(attention)
+        assert a.min() >= 0.0 and a.max() <= 1.0
+        assert np.allclose(np.asarray(attended), np.asarray(x) * a)
+
+    def test_quality_encoder_shape(self):
+        from thyroid_tpu.models.cnn.resnet import QualityEncoder
+
+        mod = QualityEncoder(hidden_dim=32)
+        q = jnp.asarray(np.random.RandomState(1).rand(4, 3).astype(np.float32))
+        variables = mod.init(jax.random.PRNGKey(0), q)
+        out = mod.apply(variables, q)
+        assert out.shape == (4, 32)
+        assert np.asarray(out).min() >= 0.0  # relu output
+
+
+@pytest.mark.unit
 class TestShiftDepthwiseConv:
     """ops/depthwise.py must be numerically interchangeable with XLA's
     depthwise conv_general_dilated (the MBConv param trees are shared)."""

@@ -215,6 +215,48 @@ class TestCLAHE:
         out = np.asarray(clahe_uint16(x, 2.0, (8, 8)))
         assert np.array_equal(out, np.full((1, 32, 32, 1), 1234.0))
 
+    def test_dual_matches_single_per_image(self):
+        # One histogram pass serving both parameterisations must be
+        # per-image identical to the two standalone passes (the coarse
+        # hists are exact 2×2 sums of the fine hists).
+        from thyroid_tpu.ops.clahe import clahe_8bit_dual
+
+        img = np.floor(RS.rand(4, 128, 128) * 256).clip(0, 255).astype(np.float32)
+        use_coarse = np.array([True, False, True, False])
+        for method in ["gather", "onehot", "pallas"]:
+            got = np.asarray(clahe_8bit_dual(
+                jnp.asarray(img), jnp.asarray(use_coarse),
+                clip_coarse=2.0, grid_coarse=(8, 8),
+                clip_fine=0.03, grid_fine=(16, 16), method=method))
+            want_c = np.asarray(clahe_8bit(jnp.asarray(img), clip_limit=2.0,
+                                           grid=(8, 8), method=method))
+            want_f = np.asarray(clahe_8bit(jnp.asarray(img), clip_limit=0.03,
+                                           grid=(16, 16), method=method))
+            want = np.where(use_coarse[:, None, None], want_c, want_f)
+            assert np.abs(got - want).max() < 1e-4, method
+
+    def test_dual_uint16_matches_single(self):
+        from thyroid_tpu.ops.clahe import clahe_uint16_dual
+
+        x = u16_batch(4, 64, 64)
+        use_coarse = np.array([True, False, False, True])
+        got = np.asarray(clahe_uint16_dual(
+            jnp.asarray(x), jnp.asarray(use_coarse),
+            clip_coarse=2.0, grid_coarse=(16, 16),
+            clip_fine=0.03, grid_fine=(32, 32)))
+        want_c = np.asarray(clahe_uint16(jnp.asarray(x), 2.0, (16, 16)))
+        want_f = np.asarray(clahe_uint16(jnp.asarray(x), 0.03, (32, 32)))
+        want = np.where(use_coarse[:, None, None, None], want_c, want_f)
+        assert np.array_equal(got, want)
+
+    def test_dual_rejects_non_nesting_grids(self):
+        from thyroid_tpu.ops.clahe import clahe_8bit_dual
+
+        with pytest.raises(ValueError):
+            clahe_8bit_dual(jnp.zeros((1, 64, 64)), jnp.zeros((1,), bool),
+                            clip_coarse=2.0, grid_coarse=(8, 8),
+                            clip_fine=0.03, grid_fine=(24, 24))
+
 
 @pytest.mark.unit
 @pytest.mark.quality
@@ -272,6 +314,20 @@ class TestQualityPipeline:
         x[0, :8] = 10.0
         out = np.asarray(quality_preprocess(jnp.asarray(x)))
         assert out.mean() <= x.mean() * 10.0 + 1.0
+
+    def test_merged_equals_classic_pipeline(self):
+        # merged dual-grid CLAHE path vs the two-pass formulation: the
+        # branches are per-image exclusive, so outputs must be identical
+        # on a batch that hits every mask class.
+        dark = (RS.rand(64, 64, 1) * 80).astype(np.float32)
+        lowc = (RS.rand(64, 64, 1) * 60 + 200).astype(np.float32)
+        clean = (RS.rand(64, 64, 1) * 3000 + 4000).astype(np.float32)
+        art = np.full((64, 64, 1), 500.0, dtype=np.float32)
+        art[2, 2, 0] = 64000.0
+        x = jnp.asarray(np.stack([dark, lowc, clean, art]))
+        a = np.asarray(quality_preprocess(x, merged=True))
+        b = np.asarray(quality_preprocess(x, merged=False))
+        assert np.array_equal(a, b)
 
     def test_jit_stability_mixed_batch(self):
         # dark + clean + artifact in one batch, branchless selection

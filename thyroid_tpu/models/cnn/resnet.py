@@ -74,6 +74,34 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class SpatialAttention(nn.Module):
+    """Spatial attention helper: sigmoid(1×1 conv) gate over the feature
+    map, returning (attended, attention). Parity with the reference's
+    retained-but-unwired helper (reference: src/models/cnn/resnet.py:24-35
+    — its integration points are commented out there too; kept here for
+    the same optional quality-aware wiring)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        attention = nn.sigmoid(nn.Conv(1, (1, 1), dtype=self.dtype)(x))
+        return x * attention, attention
+
+
+class QualityEncoder(nn.Module):
+    """Encode per-image quality scores (B, 3) → (B, hidden_dim) features
+    (reference: src/models/cnn/resnet.py:37-52)."""
+
+    hidden_dim: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, quality_scores: jnp.ndarray) -> jnp.ndarray:
+        x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype)(quality_scores))
+        return nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype)(x))
+
+
 class ResNet(nn.Module):
     block: str = "bottleneck"            # basic | bottleneck
     layers: Sequence[int] = (3, 4, 6, 3)

@@ -298,15 +298,29 @@ class SwinBlock(nn.Module):
         if min(h, w) <= ws:                 # window covers the map → no shift
             ws, shift = min(h, w), 0
 
+        # Pad feature maps to window multiples (reference
+        # swin_transformer.py:256-262 — right/bottom zero-pad AFTER norm1,
+        # masked only through the shifted-window mask, sliced off after).
+        pad_b = (-h) % ws
+        pad_r = (-w) % ws
+        hp, wp = h + pad_b, w + pad_r
+        padded = pad_b > 0 or pad_r > 0
+
         shortcut = x
         # norm1 params only — the fused serving kernel computes LN in VMEM;
         # the other paths apply the identical math via manual_layer_norm.
         g_ln, b_ln = _LNParams(c, name="norm1")()
         x = x.reshape(b, h, w, c)
+        if padded:
+            # LN first so the pad tokens are exact zeros post-norm, as in
+            # the reference (roll commutes with per-token LN, so the
+            # unpadded path may keep its roll-then-LN order unchanged).
+            x = manual_layer_norm(x, g_ln, b_ln, self.dtype)
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
 
-        mask = shift_attention_mask(h, w, ws, shift)
+        mask = shift_attention_mask(hp, wp, ws, shift)
         mask = jnp.asarray(mask) if mask is not None else None
         attn = WindowAttention(
             self.dim, ws, self.num_heads, self.qkv_bias, self.qk_scale,
@@ -323,7 +337,7 @@ class SwinBlock(nn.Module):
         # contrast scaling (score edit between bias and softmax), and
         # training with attention dropout (the kernel has none).
         fused = self.use_pallas and not capture \
-            and not self.contrast_adaptive \
+            and not self.contrast_adaptive and not padded \
             and (deterministic or self.attn_drop_rate == 0.0)
         # serving: proj + residual ride the attention kernel's epilogue, so
         # the attn call returns the half-block's residual stream directly
@@ -333,13 +347,15 @@ class SwinBlock(nn.Module):
             x = attn(x, mask=mask, deterministic=deterministic, spatial=True,
                      ln=(g_ln, b_ln), fuse_residual=proj_fused)
         else:
-            xn = manual_layer_norm(x, g_ln, b_ln, self.dtype)
+            xn = x if padded else manual_layer_norm(x, g_ln, b_ln, self.dtype)
             windows = window_partition(xn, ws)
             windows = attn(windows, mask=mask, deterministic=deterministic,
                            capture=capture)
-            x = window_reverse(windows, ws, h, w)
+            x = window_reverse(windows, ws, hp, wp)
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+        if padded:
+            x = x[:, :h, :w]
         x = x.reshape(b, l, c)
         if not proj_fused:
             x = shortcut + DropPath(self.drop_path_rate)(

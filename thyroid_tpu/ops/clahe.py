@@ -42,12 +42,12 @@ def _is_tpu() -> bool:
     return is_tpu()
 
 
-def _tile_cdfs(x8: jnp.ndarray, grid: tuple[int, int], clip_limit: float,
-               method: str | None = None) -> jnp.ndarray:
-    """Per-tile clipped-histogram CDF-based LUTs.
+def _tile_hists(x8: jnp.ndarray, grid: tuple[int, int],
+                method: str | None = None) -> jnp.ndarray:
+    """Per-tile 256-bin histograms.
 
     x8: (B, H, W) float in [0, 255] (integer-valued bins).
-    Returns luts: (B, gh, gw, 256) float LUT (0..255).
+    Returns hist: (B, gh, gw, 256) float counts.
     method: "onehot" (TPU default — fused compare-reduce histogram) or
     "sort" (CPU default — sort + searchsorted; the one-hot stream is
     256x the pixel count, fine on the VPU but slow on host SIMD).
@@ -82,11 +82,18 @@ def _tile_cdfs(x8: jnp.ndarray, grid: tuple[int, int], clip_limit: float,
         cdf_raw = jax.vmap(jax.vmap(jax.vmap(searchsorted_tile)))(tiles_sorted)
         cdf_raw = cdf_raw.astype(jnp.float32)                  # (b, gh, gw, 256)
         hist = jnp.diff(cdf_raw, axis=-1, prepend=0.0)
+    return hist
 
-    # Clip + redistribute, integer-exact to cv2's clahe.cpp: the absolute clip
-    # limit is max(int(clipLimit·area/256), 1); every bin gains excess//256,
-    # and the residual is dropped +1 at a time on bins 0, step, 2·step, …
-    # with step = max(256//residual, 1).
+
+def _luts_from_hists(hist: jnp.ndarray, area: int,
+                     clip_limit: float) -> jnp.ndarray:
+    """Clipped-histogram CDF LUT chain: (B, gh, gw, 256) counts → LUTs.
+
+    Clip + redistribute, integer-exact to cv2's clahe.cpp: the absolute clip
+    limit is max(int(clipLimit·area/256), 1); every bin gains excess//256,
+    and the residual is dropped +1 at a time on bins 0, step, 2·step, …
+    with step = max(256//residual, 1).
+    """
     clip = float(max(int(clip_limit * area / 256.0), 1))
     clipped = jnp.minimum(hist, clip)
     excess = (hist - clipped).sum(axis=-1, keepdims=True)
@@ -113,6 +120,14 @@ def _tile_cdfs(x8: jnp.ndarray, grid: tuple[int, int], clip_limit: float,
     # cv2 LUT: saturate_cast<uchar>(cdf * (255 / area))
     luts = jnp.clip(jnp.round(cdf * (255.0 / area)), 0.0, 255.0)
     return luts
+
+
+def _tile_cdfs(x8: jnp.ndarray, grid: tuple[int, int], clip_limit: float,
+               method: str | None = None) -> jnp.ndarray:
+    """Per-tile clipped-histogram CDF-based LUTs: (B, H, W) → (B, gh, gw, 256)."""
+    h, w = x8.shape[1:]
+    area = (h // grid[0]) * (w // grid[1])
+    return _luts_from_hists(_tile_hists(x8, grid, method), area, clip_limit)
 
 
 def _interp_luts_onehot(x8: jnp.ndarray, luts: jnp.ndarray,
@@ -293,6 +308,159 @@ def _interp_luts_pallas(x8: jnp.ndarray, luts: jnp.ndarray,
     return out.reshape(b, h, w)
 
 
+def _expand_matrix(gw: int, w: int, t2w: int, tw: int) -> jnp.ndarray:
+    """Blend-folded lane-expansion matrix E[g, x] = (g==x0(x))·(1−wx(x)) +
+    (g==x1(x))·wx(x) for cv2's clamped half-tile x-indexing."""
+    xpos = jax.lax.broadcasted_iota(jnp.int32, (gw, w), 1)
+    hx = xpos // t2w
+    x0 = jnp.clip((hx - 1) // 2, 0, gw - 1)
+    x1 = jnp.clip((hx - 1) // 2 + 1, 0, gw - 1)
+    rx = (xpos % t2w).astype(jnp.float32) / tw
+    wx = jnp.where(hx % 2 == 0, rx + 0.5, rx)
+    g = jax.lax.broadcasted_iota(jnp.int32, (gw, w), 0)
+    return jnp.where(g == x0, 1.0 - wx, 0.0) + jnp.where(g == x1, wx, 0.0)
+
+
+def _bit_select_tree(tab: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
+    """tab[xi] per lane via the chunked bit-select tree: 8 chunks of 32
+    leaf rows collapse through 5 select levels on xi's low bits, then 3
+    cross-chunk selects — 255 vector selects, live intermediates bounded
+    to 16 arrays. Pure selection → exactly tab[xi].
+
+    tab: (256, L); xi: (rows, L) int32 in [0, 255] → (rows, L)."""
+    bits = [((xi >> j) & 1) == 1 for j in range(8)]
+    chunks = []
+    for c in range(8):
+        lvl = [tab[c * 32 + i: c * 32 + i + 1, :] for i in range(32)]
+        for j in range(5):
+            lvl = [jnp.where(bits[j], lvl[2 * i + 1], lvl[2 * i])
+                   for i in range(len(lvl) // 2)]
+        chunks.append(lvl[0])
+    for j in range(5, 8):
+        chunks = [jnp.where(bits[j], chunks[2 * i + 1], chunks[2 * i])
+                  for i in range(len(chunks) // 2)]
+    return chunks[0]
+
+
+def _quadrant_apply_dual_kernel(sel_ref, x_ref, ctop_ref, cbot_ref,
+                                ftop_ref, fbot_ref, o_ref, *,
+                                tile_c: tuple[int, int],
+                                tile_f: tuple[int, int], n_h2f: int):
+    """One fine half-block ROW of the DUAL-grid quadrant LUT apply.
+
+    Runs the expensive bit-select tree ONCE per pixel block, selecting
+    per image between the coarse- and fine-grid blended LUT tabs (the
+    quality pipeline's dark/low-contrast branches are exclusive, so each
+    image needs exactly one of the two) — instead of one full-batch apply
+    pass per parameterisation. The fine half-block rows nest inside
+    coarse half-blocks (t2h_c = 2·t2h_f), so both grids' neighbour LUT
+    rows arrive via static BlockSpec index maps of the same grid step.
+
+    sel_ref: (B,) int32 scalar-prefetch — 1 where the image takes the
+    coarse grid; x_ref: (1, t2h_f, W); c*/f*: (1, 1, gw, 256) raw LUT
+    tile rows.
+    """
+    th_c, tw_c = tile_c
+    th_f, tw_f = tile_f
+    t2h_f, t2w_f = th_f // 2, tw_f // 2
+    t2w_c = tw_c // 2
+    x = x_ref[0].astype(jnp.float32)                      # (t2h_f, W)
+    w = x.shape[1]
+    gw_c = ctop_ref.shape[2]
+    gw_f = ftop_ref.shape[2]
+    sel = sel_ref[pl.program_id(0) // n_h2f] > 0
+
+    e_c = _expand_matrix(gw_c, w, t2w_c, tw_c)
+    e_f = _expand_matrix(gw_f, w, t2w_f, tw_f)
+
+    def blend(l_ref, e):
+        return jax.lax.dot_general(
+            l_ref[0, 0].astype(jnp.float32), e, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (256, W)
+
+    top = jnp.where(sel, blend(ctop_ref, e_c), blend(ftop_ref, e_f))
+    bot = jnp.where(sel, blend(cbot_ref, e_c), blend(fbot_ref, e_f))
+    tab = jnp.concatenate([top, bot], axis=1)             # (256, 2W)
+
+    # y-direction weights for both grids, selected per image. Fine rows
+    # nest in coarse half-blocks: within-coarse-half-block row offset =
+    # (hy_f % 2)·t2h_f + r.
+    hy_f = pl.program_id(0) % n_h2f
+    hy_c = hy_f // 2
+    r = jax.lax.broadcasted_iota(jnp.int32, (t2h_f, 1), 0)
+    ry_f = r.astype(jnp.float32) / th_f
+    wy_f = jnp.where(hy_f % 2 == 0, ry_f + 0.5, ry_f)
+    ry_c = ((hy_f % 2) * t2h_f + r).astype(jnp.float32) / th_c
+    wy_c = jnp.where(hy_c % 2 == 0, ry_c + 0.5, ry_c)
+    wy = jnp.where(sel, wy_c, wy_f)                       # (t2h_f, 1)
+
+    xi = jnp.concatenate([x, x], axis=1).astype(jnp.int32)  # (t2h_f, 2W)
+    res = _bit_select_tree(tab, xi)
+    o_ref[0] = (res[:, :w] * (1.0 - wy)
+                + res[:, w:] * wy).astype(o_ref.dtype)
+
+
+def _interp_luts_pallas_dual(x8: jnp.ndarray, luts_c: jnp.ndarray,
+                             luts_f: jnp.ndarray, use_coarse: jnp.ndarray,
+                             grid_c: tuple[int, int], grid_f: tuple[int, int],
+                             interpret: bool | None = None) -> jnp.ndarray:
+    """Pallas dual-grid quadrant LUT apply: one tree pass for both grids."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    b, h, w = x8.shape
+    gch, gcw = grid_c
+    gfh, gfw = grid_f
+    th_c, tw_c = h // gch, w // gcw
+    th_f, tw_f = h // gfh, w // gfw
+    t2h_f = th_f // 2
+    H2f = 2 * gfh
+
+    # the per-image selector rides scalar prefetch (SMEM); index maps take
+    # the prefetch ref as an extra trailing arg
+    def top_f_map(i, sel_ref):
+        hy = i % H2f
+        return (i // H2f, jnp.clip((hy - 1) // 2, 0, gfh - 1), 0, 0)
+
+    def bot_f_map(i, sel_ref):
+        hy = i % H2f
+        return (i // H2f, jnp.clip((hy - 1) // 2 + 1, 0, gfh - 1), 0, 0)
+
+    def top_c_map(i, sel_ref):
+        hy = (i % H2f) // 2
+        return (i // H2f, jnp.clip((hy - 1) // 2, 0, gch - 1), 0, 0)
+
+    def bot_c_map(i, sel_ref):
+        hy = (i % H2f) // 2
+        return (i // H2f, jnp.clip((hy - 1) // 2 + 1, 0, gch - 1), 0, 0)
+
+    xrows = jnp.clip(x8, 0, 255).reshape(b * H2f, t2h_f, w)
+    sel = use_coarse.astype(jnp.int32).reshape(b)
+    kernel = partial(_quadrant_apply_dual_kernel, tile_c=(th_c, tw_c),
+                     tile_f=(th_f, tw_f), n_h2f=H2f)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * H2f,),
+            in_specs=[
+                pl.BlockSpec((1, t2h_f, w), lambda i, s: (i, 0, 0)),
+                pl.BlockSpec((1, 1, gcw, 256), top_c_map),
+                pl.BlockSpec((1, 1, gcw, 256), bot_c_map),
+                pl.BlockSpec((1, 1, gfw, 256), top_f_map),
+                pl.BlockSpec((1, 1, gfw, 256), bot_f_map),
+            ],
+            out_specs=pl.BlockSpec((1, t2h_f, w), lambda i, s: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * H2f, t2h_f, w), x8.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(sel, xrows, luts_c.reshape(b, gch, gcw, 256),
+      luts_c.reshape(b, gch, gcw, 256), luts_f.reshape(b, gfh, gfw, 256),
+      luts_f.reshape(b, gfh, gfw, 256))
+    return out.reshape(b, h, w)
+
+
 def _interp_luts(x8: jnp.ndarray, luts: jnp.ndarray, grid: tuple[int, int]) -> jnp.ndarray:
     """Bilinear interpolation between the 4 neighbouring tile LUTs
     (flat-gather path — CPU default; per-pixel random access).
@@ -398,3 +566,115 @@ def clahe_uint16(x: jnp.ndarray, clip_limit: float = 2.0,
     out = jnp.clip(out, 0.0, 65535.0)
     out = jnp.where(span <= 0, img, out)                       # flat image → identity
     return jnp.floor(out)[..., None]                            # uint16 cast truncates
+
+
+def _apply_luts(x8: jnp.ndarray, luts: jnp.ndarray, grid: tuple[int, int],
+                method: str) -> jnp.ndarray:
+    if method == "pallas":
+        return _interp_luts_pallas(x8, luts, grid)
+    if method == "onehot":
+        return _interp_luts_onehot(x8, luts, grid)
+    return _interp_luts(x8, luts, grid)
+
+
+def _auto_method(th: int, tw: int) -> str:
+    return ("pallas" if _is_tpu() and th % 2 == 0 and tw % 2 == 0
+            else "gather")
+
+
+@partial(jax.jit, static_argnames=("clip_coarse", "grid_coarse", "clip_fine",
+                                   "grid_fine", "method"))
+def clahe_8bit_dual(
+    x8: jnp.ndarray,
+    use_coarse: jnp.ndarray,
+    clip_coarse: float,
+    grid_coarse: tuple[int, int],
+    clip_fine: float,
+    grid_fine: tuple[int, int],
+    method: str | None = None,
+) -> jnp.ndarray:
+    """Per-image select between TWO CLAHE parameterisations with ONE
+    histogram pass.
+
+    The quality pipeline's dark/low-contrast branches are per-image
+    exclusive (reference: src/data/quality_preprocessing.py:199-216 —
+    `if extreme_dark … elif low_contrast`), yet the batched formulation
+    used to run BOTH full CLAHE passes over every image. When the two
+    grids nest (grid_fine = 2×grid_coarse componentwise — true for the
+    reference's (16,16)/(32,32) table), the coarse tile histograms are
+    EXACTLY the 2×2 sums of the fine tile histograms (same pixels,
+    integer-valued f32 counts, so the sum is associative-exact), so one
+    compare-reduce histogram pass serves both LUT chains.
+
+    x8: (B, H, W) integer-valued floats in [0, 255];
+    use_coarse: (B,) bool — image takes the coarse parameterisation.
+    Returns the equalised (B, H, W), per-image identical to running
+    `clahe_8bit` with that image's parameterisation alone.
+    """
+    b, h, w = x8.shape
+    gch, gcw = grid_coarse
+    gfh, gfw = grid_fine
+    if (gfh, gfw) != (2 * gch, 2 * gcw):
+        raise ValueError(
+            f"dual CLAHE needs grid_fine == 2*grid_coarse, got "
+            f"{grid_coarse} vs {grid_fine}")
+    if h % gfh or w % gfw:
+        raise ValueError(f"image {h}x{w} not divisible by CLAHE grid {grid_fine}")
+    area_f = (h // gfh) * (w // gfw)
+    area_c = area_f * 4
+
+    hist_f = _tile_hists(x8, grid_fine,
+                         method="onehot" if _is_tpu() else None)
+    hist_c = hist_f.reshape(b, gch, 2, gcw, 2, 256).sum(axis=(2, 4))
+    luts_c = _luts_from_hists(hist_c, area_c, clip_coarse)
+    luts_f = _luts_from_hists(hist_f, area_f, clip_fine)
+
+    if method is None:
+        method = _auto_method(h // gfh, w // gfw)
+    if method in ("onehot", "pallas") and ((h // gfh) % 2 or (w // gfw) % 2):
+        raise ValueError(
+            f"quadrant CLAHE needs even tile sides, got "
+            f"{h // gfh}x{w // gfw}")
+    if method == "pallas":
+        # one tree pass, per-image coarse/fine tab selection in-kernel
+        return _interp_luts_pallas_dual(
+            jnp.clip(x8, 0, 255), luts_c, luts_f, use_coarse,
+            grid_coarse, grid_fine)
+    out_c = _apply_luts(x8, luts_c, grid_coarse, method)
+    out_f = _apply_luts(x8, luts_f, grid_fine, method)
+    return jnp.where(use_coarse.reshape(b, 1, 1), out_c, out_f)
+
+
+@partial(jax.jit, static_argnames=("clip_coarse", "grid_coarse", "clip_fine",
+                                   "grid_fine", "method"))
+def clahe_uint16_dual(
+    x: jnp.ndarray,
+    use_coarse: jnp.ndarray,
+    clip_coarse: float,
+    grid_coarse: tuple[int, int],
+    clip_fine: float,
+    grid_fine: tuple[int, int],
+    method: str | None = None,
+) -> jnp.ndarray:
+    """Range-preserving uint16 round-trip over `clahe_8bit_dual`: ONE
+    min/max normalisation + denormalisation pass instead of one per
+    parameterisation. Per-image bit-identical to `clahe_uint16` with that
+    image's own parameterisation (the round-trip is per-image math).
+
+    x: (B, H, W, 1) float on the uint16 scale; use_coarse: (B,) bool.
+    """
+    b, h, w, _ = x.shape
+    img = x[..., 0]
+    flat = img.reshape(b, -1)
+    lo = flat.min(axis=1).reshape(b, 1, 1)
+    hi = flat.max(axis=1).reshape(b, 1, 1)
+    span = hi - lo
+    norm01 = (img - lo) / (span + 1e-8)
+    x8 = jnp.floor(norm01 * 255.0)
+    eq = jnp.round(clahe_8bit_dual(
+        x8, use_coarse, clip_coarse, grid_coarse, clip_fine, grid_fine,
+        method=method))
+    out = eq / 255.0 * span + lo
+    out = jnp.clip(out, 0.0, 65535.0)
+    out = jnp.where(span <= 0, img, out)
+    return jnp.floor(out)[..., None]

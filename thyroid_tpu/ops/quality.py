@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .clahe import clahe_uint16
+from .clahe import clahe_uint16, clahe_uint16_dual
 from .image import (
     adaptive_normalize,
     gamma_correct,
@@ -50,9 +50,17 @@ def _per_image_mean(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(x.shape[0], -1).mean(axis=1).reshape(-1, 1, 1, 1)
 
 
-@partial(jax.jit, static_argnames=("params",))
-def quality_preprocess(x: jnp.ndarray, params: QualityParams = QualityParams()) -> jnp.ndarray:
-    """Batched quality-aware preprocessing. x: (B,H,W,1) uint16-scale float."""
+@partial(jax.jit, static_argnames=("params", "merged"))
+def quality_preprocess(x: jnp.ndarray, params: QualityParams = QualityParams(),
+                       merged: bool | None = None) -> jnp.ndarray:
+    """Batched quality-aware preprocessing. x: (B,H,W,1) uint16-scale float.
+
+    merged: fuse the two CLAHE branches into ONE histogram pass + ONE
+    uint16 round-trip (`clahe_uint16_dual`) — per-image bit-identical to
+    the two-pass formulation because the dark/low-contrast branches are
+    exclusive. Auto-on when the parameter table's grids nest (the
+    reference's (16,16)/(32,32) do).
+    """
     masks = quality_issue_masks(
         x,
         extreme_dark_threshold=params.extreme_dark_threshold,
@@ -67,14 +75,31 @@ def quality_preprocess(x: jnp.ndarray, params: QualityParams = QualityParams()) 
     art = suppress_artifacts(x, percentile=params.artifact_percentile)
     processed = jnp.where(m_art, art, x)
 
-    # 2) extreme dark: gamma → CLAHE(2.0, 16×16)
-    dark = gamma_correct(processed, params.extreme_dark_gamma)
-    dark = clahe_uint16(dark, clip_limit=params.extreme_dark_clip,
-                        grid=params.extreme_dark_grid)
-    # 3) elif low contrast: CLAHE(0.03, 32×32)
-    lc = clahe_uint16(processed, clip_limit=params.low_contrast_clip,
-                      grid=params.low_contrast_grid)
-    processed = jnp.where(m_dark, dark, jnp.where(m_lc, lc, processed))
+    if merged is None:
+        gc, gf = params.extreme_dark_grid, params.low_contrast_grid
+        merged = gf == (2 * gc[0], 2 * gc[1])
+    if merged:
+        # 2+3) one dual-grid CLAHE: per-image input select (dark images see
+        # the gamma-corrected frame), one histogram pass, one round-trip.
+        clahe_in = jnp.where(
+            m_dark, gamma_correct(processed, params.extreme_dark_gamma),
+            processed)
+        eq = clahe_uint16_dual(
+            clahe_in, masks["extreme_dark"],
+            clip_coarse=params.extreme_dark_clip,
+            grid_coarse=params.extreme_dark_grid,
+            clip_fine=params.low_contrast_clip,
+            grid_fine=params.low_contrast_grid)
+        processed = jnp.where(m_dark | m_lc, eq, processed)
+    else:
+        # 2) extreme dark: gamma → CLAHE(2.0, 16×16)
+        dark = gamma_correct(processed, params.extreme_dark_gamma)
+        dark = clahe_uint16(dark, clip_limit=params.extreme_dark_clip,
+                            grid=params.extreme_dark_grid)
+        # 3) elif low contrast: CLAHE(0.03, 32×32)
+        lc = clahe_uint16(processed, clip_limit=params.low_contrast_clip,
+                          grid=params.low_contrast_grid)
+        processed = jnp.where(m_dark, dark, jnp.where(m_lc, lc, processed))
 
     # 4) over-correction guard (reference: validate_preprocessing:172-192)
     orig_mean = _per_image_mean(x)
