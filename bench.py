@@ -35,6 +35,10 @@ def main() -> None:
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--quality", action="store_true",
                    help="include the full quality-aware pipeline")
+    p.add_argument("--quality-chunk", type=int, default=32,
+                   help="lax.map chunk for the quality pipeline (bounds "
+                        "the artifact-filter shifted-stack intermediates: "
+                        "~27 MB/image at 512²)")
     p.add_argument("--dtype", default="bf16")
     p.add_argument("--swin-window", type=int, default=None,
                    help="override Swin window size (e.g. 8: MXU-aligned "
@@ -88,7 +92,8 @@ def main() -> None:
         return model.apply(variables, x, train=False)
 
     def one_step(variables, raw):
-        x = prepare_images(raw, args.img_size, quality=args.quality)
+        x = prepare_images(raw, args.img_size, quality=args.quality,
+                           chunk=args.quality_chunk)
         x = standardize(x, (0.5,), (0.5,))
         out = apply_model(variables, x)
         return out[0] if isinstance(out, tuple) else out
