@@ -215,6 +215,24 @@ class TestCLAHE:
         out = np.asarray(clahe_uint16(x, 2.0, (8, 8)))
         assert np.array_equal(out, np.full((1, 32, 32, 1), 1234.0))
 
+    @pytest.mark.parametrize("size,grid,clip", [
+        ((64, 64), (4, 4), 3.0),
+        ((96, 64), (8, 4), 1.5),
+        ((128, 128), (16, 16), 0.5),
+        ((80, 112), (5, 7), 2.5),       # odd grid → gather path
+        ((256, 256), (32, 32), 0.03),   # reference low-contrast params
+        ((256, 256), (16, 16), 2.0),    # reference extreme-dark params
+    ])
+    def test_matches_cv2_sweep(self, size, grid, clip):
+        # property sweep: every (size, grid, clip) must stay within the
+        # ±1-grey-level rounding envelope of cv2's clahe.cpp
+        rs = np.random.RandomState(hash((size, grid)) % (2**31))
+        img = (rs.rand(*size) * 255).astype(np.uint8)
+        got = np.asarray(clahe_8bit(jnp.asarray(img[None].astype(np.float32)),
+                                    clip_limit=clip, grid=grid))[0]
+        want = cv2.createCLAHE(clipLimit=clip, tileGridSize=grid[::-1]).apply(img)
+        assert np.abs(got - want.astype(np.float32)).max() <= 1.0
+
     def test_dual_matches_single_per_image(self):
         # One histogram pass serving both parameterisations must be
         # per-image identical to the two standalone passes (the coarse
@@ -314,6 +332,28 @@ class TestQualityPipeline:
         x[0, :8] = 10.0
         out = np.asarray(quality_preprocess(jnp.asarray(x)))
         assert out.mean() <= x.mean() * 10.0 + 1.0
+
+    def test_fused_stats_quantile_matches_xla(self):
+        from thyroid_tpu.ops.image import per_image_quantile_fast, quality_stats
+        from thyroid_tpu.ops.percentile import fused_stats_quantile
+
+        x = jnp.asarray(u16_batch(4, 64, 64))
+        got = jax.tree.map(np.asarray, fused_stats_quantile(x, q=0.999))
+        want = jax.tree.map(np.asarray, quality_stats(x))
+        for k in ("mean", "std", "max", "min"):
+            assert np.allclose(got[k], want[k], rtol=1e-5), k
+        # bisection quantile: identical brackets → bit-identical values
+        q = np.asarray(per_image_quantile_fast(x, 0.999)).ravel()
+        assert np.array_equal(got["quantile"], q)
+
+    def test_fused_stats_quantile_fallback_odd_size(self):
+        from thyroid_tpu.ops.image import per_image_quantile_fast
+        from thyroid_tpu.ops.percentile import fused_stats_quantile
+
+        x = jnp.asarray((RS.rand(2, 31, 31, 1) * 65535).astype(np.float32))
+        got = fused_stats_quantile(x, q=0.999)  # 961 px: lane fallback
+        q = np.asarray(per_image_quantile_fast(x, 0.999)).ravel()
+        assert np.array_equal(np.asarray(got["quantile"]), q)
 
     def test_merged_equals_classic_pipeline(self):
         # merged dual-grid CLAHE path vs the two-pass formulation: the

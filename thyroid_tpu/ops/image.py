@@ -269,11 +269,14 @@ def quality_issue_masks(
     extreme_dark_threshold: float = 150.0,
     low_contrast_threshold: float = 80.0,
     artifact_ratio_threshold: float = 30.0,
+    stats: dict[str, jnp.ndarray] | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Branchless issue detection (reference thresholds:
     src/data/quality_preprocessing.py:85-112 — dark: mean<150;
-    low-contrast: elif std<80; artifacts: max/mean>30). Returns (B,) bool masks."""
-    s = quality_stats(x)
+    low-contrast: elif std<80; artifacts: max/mean>30). Returns (B,) bool
+    masks. `stats` lets the hot pipeline pass precomputed per-image
+    mean/std/max (ops/percentile.py fused_stats_quantile)."""
+    s = stats if stats is not None else quality_stats(x)
     dark = s["mean"] < extreme_dark_threshold
     low_contrast = jnp.logical_and(~dark, s["std"] < low_contrast_threshold)
     ratio = s["max"] / jnp.maximum(s["mean"], 1e-8)
@@ -363,17 +366,21 @@ def suppress_artifacts(
     bilateral_d: int = 5,
     bilateral_sigma_color: float = 50.0,
     bilateral_sigma_space: float = 50.0,
+    p_high: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Artifact suppression chain (reference:
     src/data/quality_preprocessing.py:149-170): per-image percentile clip →
     round-trip to 8-bit → 3×3 median → bilateral only where bright spots remain
     (max>250 in 8-bit), then back to uint16 scale (×256). Branchless: bilateral
-    is computed for the whole batch and selected per image."""
+    is computed for the whole batch and selected per image. `p_high` lets
+    the hot pipeline pass the precomputed per-image (B,1,1,1) clip value
+    (ops/percentile.py fused_stats_quantile — bit-identical bisection)."""
     del median_size  # fixed 3×3, as in the reference params table
     # bisection quantile (resolution < 0.02 on the uint16 scale): this runs
     # on every pipeline batch, where an O(N log² N) TPU sort is the single
     # most expensive primitive — see per_image_quantile's own guidance
-    p_high = per_image_quantile_fast(x, percentile / 100.0)
+    if p_high is None:
+        p_high = per_image_quantile_fast(x, percentile / 100.0)
     clipped = jnp.clip(x, 0.0, p_high)
     x8 = jnp.floor(clipped / 256.0)  # uint8 cast truncates
     med = median_filter_3x3(x8)

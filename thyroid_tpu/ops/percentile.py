@@ -64,6 +64,90 @@ def _bisect_normalize_kernel(x_ref, o_ref, *, q_lo: float, q_hi: float,
     o_ref[:] = ((y - p_lo) / (p_hi - p_lo + eps)).astype(o_ref.dtype)
 
 
+def _stats_quantile_kernel(x_ref, o_ref, *, q: float, iters: int, n: int):
+    """Per-image scalars in ONE HBM pass: mean, std, max, min and the
+    value-space bisection quantile (same brackets as
+    `per_image_quantile_fast` — min/max and the 0/1 counts are
+    order-independent exact, so the quantile is BIT-identical to the XLA
+    path; mean/std differ only by reduce-order ULPs).
+
+    x_ref: (1, S, 128) — one image, pixels tiled over (sublanes, lanes);
+    o_ref: (1, 1, 8) → [mean, std, max, min, quantile, 0, 0, 0].
+    """
+    x = x_ref[0].astype(jnp.float32)                # (S, 128)
+    mn = x.min()
+    mx = x.max()
+    mean = x.sum() / n
+    var = jnp.square(x - mean).sum() / n
+    target = jnp.float32(q * (n - 1))
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) * 0.5
+        cnt = (x <= mid).astype(jnp.float32).sum()
+        go_up = cnt <= target
+        return (jnp.where(go_up, mid, lo), jnp.where(go_up, hi, mid))
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (mn, mx))
+    qv = (lo + hi) * 0.5
+    o_ref[0, 0] = jnp.stack(
+        [mean, jnp.sqrt(var), mx, mn, qv,
+         jnp.float32(0), jnp.float32(0), jnp.float32(0)])
+
+
+def fused_stats_quantile(
+    x: jnp.ndarray,
+    q: float,
+    iters: int = 22,
+    interpret: bool | None = None,
+) -> dict[str, jnp.ndarray]:
+    """Per-image mean/std/max/min + one bisection quantile, fused.
+
+    The quality pipeline's issue masks (`quality_stats`) and artifact
+    percentile (`per_image_quantile_fast`) each re-read the full-resolution
+    batch from HBM — ~2 + 22 passes at 512². This kernel keeps each image
+    VMEM-resident (1 MB at 512² f32) and produces all five scalars in one
+    read. x: (B, H, W, C) → dict of (B,) arrays (quantile also under
+    "quantile"). Falls back to the XLA formulations off-TPU or when the
+    pixel count isn't lane-divisible.
+    """
+    from .image import per_image_quantile_fast, quality_stats
+
+    b = x.shape[0]
+    n = 1
+    for d in x.shape[1:]:
+        n *= int(d)
+    if interpret is None:
+        interpret = not is_tpu()
+    # fallback: exact same public semantics via the XLA paths. Size guard:
+    # per-image block ≤ 4 MB so the double-buffered pipeline stays well
+    # under the ~16 MB VMEM (512² f32 images are 1 MB).
+    if n % 128 or n * 4 > 4 * 1024 * 1024:
+        stats = quality_stats(x)
+        stats["quantile"] = per_image_quantile_fast(x, q, iters).reshape(b)
+        return stats
+
+    tiled = x.reshape(b, n // 128, 128)
+    kernel = functools.partial(_stats_quantile_kernel, q=float(q),
+                               iters=int(iters), n=n)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n // 128, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            allow_input_fusion=(True,)),
+        interpret=interpret,
+    )(tiled)
+    out = out[:, 0]
+    return {"mean": out[:, 0], "std": out[:, 1], "max": out[:, 2],
+            "min": out[:, 3], "quantile": out[:, 4]}
+
+
 def fused_percentile_normalize(
     x: jnp.ndarray,
     percentiles: tuple[float, float] = (1.0, 99.0),

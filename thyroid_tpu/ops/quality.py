@@ -61,18 +61,26 @@ def quality_preprocess(x: jnp.ndarray, params: QualityParams = QualityParams(),
     exclusive. Auto-on when the parameter table's grids nest (the
     reference's (16,16)/(32,32) do).
     """
+    # ONE fused pass for every per-image scalar the branch logic needs:
+    # mean/std/max (issue masks) + the 99.9-percentile clip value — instead
+    # of ~24 separate full-resolution HBM passes (ops/percentile.py).
+    from .percentile import fused_stats_quantile
+
+    stats = fused_stats_quantile(x, q=params.artifact_percentile / 100.0)
     masks = quality_issue_masks(
         x,
         extreme_dark_threshold=params.extreme_dark_threshold,
         low_contrast_threshold=params.low_contrast_threshold,
         artifact_ratio_threshold=params.artifact_ratio_threshold,
+        stats=stats,
     )
     m_art = masks["artifacts"].reshape(-1, 1, 1, 1)
     m_dark = masks["extreme_dark"].reshape(-1, 1, 1, 1)
     m_lc = masks["low_contrast"].reshape(-1, 1, 1, 1)
 
     # 1) artifacts first (reference order: preprocess_image:199-205)
-    art = suppress_artifacts(x, percentile=params.artifact_percentile)
+    art = suppress_artifacts(x, percentile=params.artifact_percentile,
+                             p_high=stats["quantile"].reshape(-1, 1, 1, 1))
     processed = jnp.where(m_art, art, x)
 
     if merged is None:
@@ -102,7 +110,7 @@ def quality_preprocess(x: jnp.ndarray, params: QualityParams = QualityParams(),
         processed = jnp.where(m_dark, dark, jnp.where(m_lc, lc, processed))
 
     # 4) over-correction guard (reference: validate_preprocessing:172-192)
-    orig_mean = _per_image_mean(x)
+    orig_mean = stats["mean"].reshape(-1, 1, 1, 1)
     proc_mean = _per_image_mean(processed)
     too_bright = proc_mean > orig_mean * 10.0
     too_dark = proc_mean < orig_mean * 0.1
