@@ -18,6 +18,13 @@ def check(name, fn):
 
 
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Verify environment + framework setup (deps, config "
+                    "composition, model registry, devices, git)")
+    p.parse_args()
+
     results = []
     print("dependencies:")
     for mod in ["jax", "flax", "optax", "orbax.checkpoint", "numpy", "yaml",

@@ -217,15 +217,7 @@ def _quadrant_apply_kernel(x_ref, ltop_ref, lbot_ref, o_ref, *,
     gw = ltop_ref.shape[2]
 
     # blend weights + clamped neighbour-column indices, analytic per lane
-    xpos = jax.lax.broadcasted_iota(jnp.int32, (gw, w), 1)
-    hx = xpos // t2w
-    x0 = jnp.clip((hx - 1) // 2, 0, gw - 1)
-    x1 = jnp.clip((hx - 1) // 2 + 1, 0, gw - 1)
-    rx = (xpos % t2w).astype(jnp.float32) / tw
-    wx = jnp.where(hx % 2 == 0, rx + 0.5, rx)              # (gw, W)
-    g = jax.lax.broadcasted_iota(jnp.int32, (gw, w), 0)
-    expand = (jnp.where(g == x0, 1.0 - wx, 0.0)
-              + jnp.where(g == x1, wx, 0.0))               # (gw, W)
+    expand = _expand_matrix(gw, w, t2w, tw)                # (gw, W)
 
     top = jax.lax.dot_general(
         ltop_ref[0, 0].astype(jnp.float32), expand, (((0,), (0,)), ((), ())),
@@ -241,24 +233,9 @@ def _quadrant_apply_kernel(x_ref, ltop_ref, lbot_ref, o_ref, *,
     wy = jnp.where(hy % 2 == 0, ry + 0.5, ry)              # (t2h, 1)
 
     xi = jnp.concatenate([x, x], axis=1).astype(jnp.int32)  # (t2h, 2W)
-    bits = [((xi >> j) & 1) == 1 for j in range(8)]
-
-    # 8 chunks of 32 leaves → 5 select levels each, 3 levels across chunks.
-    # Chunking bounds live intermediates to 16 (t2h, 2W) arrays.
-    chunks = []
-    for c in range(8):
-        lvl = [tab[c * 32 + i: c * 32 + i + 1, :] for i in range(32)]
-        for j in range(5):
-            lvl = [jnp.where(bits[j], lvl[2 * i + 1], lvl[2 * i])
-                   for i in range(len(lvl) // 2)]
-        chunks.append(lvl[0])
-    for j in range(5, 8):
-        chunks = [jnp.where(bits[j], chunks[2 * i + 1], chunks[2 * i])
-                  for i in range(len(chunks) // 2)]
-    res = chunks[0]                                        # (t2h, 2W)
-    w_lanes = x.shape[1]
-    o_ref[0] = (res[:, :w_lanes] * (1.0 - wy)
-                + res[:, w_lanes:] * wy).astype(o_ref.dtype)
+    res = _bit_select_tree(tab, xi)                         # (t2h, 2W)
+    o_ref[0] = (res[:, :w] * (1.0 - wy)
+                + res[:, w:] * wy).astype(o_ref.dtype)
 
 
 def _interp_luts_pallas(x8: jnp.ndarray, luts: jnp.ndarray,
@@ -525,19 +502,41 @@ def clahe_8bit(x8: jnp.ndarray, clip_limit: float = 2.0,
         raise ValueError(f"image {h}x{w} not divisible by CLAHE grid {grid}")
     th, tw = h // gh, w // gw
     if method is None:
-        method = ("pallas" if _is_tpu() and th % 2 == 0 and tw % 2 == 0
-                  else "gather")
+        method = _auto_method(th, tw)
     luts = _tile_cdfs(x8, grid, clip_limit,
                       method="onehot" if method in ("onehot", "pallas")
                       else None)
-    if method in ("onehot", "pallas"):
-        if th % 2 or tw % 2:
-            raise ValueError(
-                f"quadrant CLAHE needs even tile sides, got {th}x{tw}")
-        if method == "pallas":
-            return _interp_luts_pallas(x8, luts, grid)
-        return _interp_luts_onehot(x8, luts, grid)
-    return _interp_luts(x8, luts, grid)
+    if method in ("onehot", "pallas") and (th % 2 or tw % 2):
+        raise ValueError(
+            f"quadrant CLAHE needs even tile sides, got {th}x{tw}")
+    return _apply_luts(x8, luts, grid, method)
+
+
+def _uint16_roundtrip(x: jnp.ndarray, eq_fn) -> jnp.ndarray:
+    """Range-preserving uint16 round-trip shared by the single- and
+    dual-parameterisation entries (reference:
+    src/data/quality_preprocessing.py:125-147): per-image [min, max] → 8-bit
+    → `eq_fn` → back. Flat images pass through.
+
+    x: (B, H, W, 1) float on the uint16 scale;
+    eq_fn: integer-valued (B, H, W) bins in [0, 255] → equalised (B, H, W).
+    """
+    b = x.shape[0]
+    img = x[..., 0]
+    flat = img.reshape(b, -1)
+    lo = flat.min(axis=1).reshape(b, 1, 1)
+    hi = flat.max(axis=1).reshape(b, 1, 1)
+    span = hi - lo
+    norm01 = (img - lo) / (span + 1e-8)
+    x8 = jnp.floor(norm01 * 255.0)                             # uint8 cast truncates
+    # cv2's CLAHE returns uint8 (saturate_cast ROUNDS the interpolated
+    # LUT value); without this round the fractional residue is amplified
+    # ×(span/255) ≈ ×257 on the way back to the uint16 scale
+    eq = jnp.round(eq_fn(x8))
+    out = eq / 255.0 * span + lo
+    out = jnp.clip(out, 0.0, 65535.0)
+    out = jnp.where(span <= 0, img, out)                       # flat image → identity
+    return jnp.floor(out)[..., None]                            # uint16 cast truncates
 
 
 @partial(jax.jit, static_argnames=("grid", "clip_limit", "method"))
@@ -549,23 +548,9 @@ def clahe_uint16(x: jnp.ndarray, clip_limit: float = 2.0,
 
     x: (B, H, W, 1) float on the uint16 scale. Flat images pass through.
     """
-    b, h, w, _ = x.shape
-    img = x[..., 0]
-    flat = img.reshape(b, -1)
-    lo = flat.min(axis=1).reshape(b, 1, 1)
-    hi = flat.max(axis=1).reshape(b, 1, 1)
-    span = hi - lo
-    norm01 = (img - lo) / (span + 1e-8)
-    x8 = jnp.floor(norm01 * 255.0)                             # uint8 cast truncates
-    # cv2's CLAHE returns uint8 (saturate_cast ROUNDS the interpolated
-    # LUT value); without this round the fractional residue is amplified
-    # ×(span/255) ≈ ×257 on the way back to the uint16 scale
-    eq = jnp.round(clahe_8bit(x8, clip_limit=clip_limit, grid=grid,
-                              method=method))
-    out = eq / 255.0 * span + lo
-    out = jnp.clip(out, 0.0, 65535.0)
-    out = jnp.where(span <= 0, img, out)                       # flat image → identity
-    return jnp.floor(out)[..., None]                            # uint16 cast truncates
+    return _uint16_roundtrip(
+        x, lambda x8: clahe_8bit(x8, clip_limit=clip_limit, grid=grid,
+                                 method=method))
 
 
 def _apply_luts(x8: jnp.ndarray, luts: jnp.ndarray, grid: tuple[int, int],
@@ -629,6 +614,12 @@ def clahe_8bit_dual(
     luts_c = _luts_from_hists(hist_c, area_c, clip_coarse)
     luts_f = _luts_from_hists(hist_f, area_f, clip_fine)
 
+    # NOTE: ONE method serves both branches (the dual kernel is a single
+    # program). The per-image identity with standalone `clahe_8bit` holds
+    # for the same method; when the grids' auto-picks would differ (odd
+    # fine tile, even coarse tile on TPU), callers wanting bit-identity
+    # with the auto single-pass path must not merge — quality_preprocess
+    # gates on exactly this.
     if method is None:
         method = _auto_method(h // gfh, w // gfw)
     if method in ("onehot", "pallas") and ((h // gfh) % 2 or (w // gfw) % 2):
@@ -663,18 +654,7 @@ def clahe_uint16_dual(
 
     x: (B, H, W, 1) float on the uint16 scale; use_coarse: (B,) bool.
     """
-    b, h, w, _ = x.shape
-    img = x[..., 0]
-    flat = img.reshape(b, -1)
-    lo = flat.min(axis=1).reshape(b, 1, 1)
-    hi = flat.max(axis=1).reshape(b, 1, 1)
-    span = hi - lo
-    norm01 = (img - lo) / (span + 1e-8)
-    x8 = jnp.floor(norm01 * 255.0)
-    eq = jnp.round(clahe_8bit_dual(
-        x8, use_coarse, clip_coarse, grid_coarse, clip_fine, grid_fine,
-        method=method))
-    out = eq / 255.0 * span + lo
-    out = jnp.clip(out, 0.0, 65535.0)
-    out = jnp.where(span <= 0, img, out)
-    return jnp.floor(out)[..., None]
+    return _uint16_roundtrip(
+        x, lambda x8: clahe_8bit_dual(
+            x8, use_coarse, clip_coarse, grid_coarse, clip_fine, grid_fine,
+            method=method))

@@ -84,8 +84,20 @@ def quality_preprocess(x: jnp.ndarray, params: QualityParams = QualityParams(),
     processed = jnp.where(m_art, art, x)
 
     if merged is None:
+        from .clahe import _auto_method
+
         gc, gf = params.extreme_dark_grid, params.low_contrast_grid
-        merged = gf == (2 * gc[0], 2 * gc[1])
+        h, w = x.shape[1], x.shape[2]
+        # merged needs (a) nesting grids and (b) both branches auto-picking
+        # the SAME apply method as their standalone clahe_8bit calls would
+        # (the dual path runs one method for both) — otherwise e.g. an odd
+        # fine tile with an even coarse tile would demote the coarse branch
+        # from pallas to gather and break bit-identity with the classic path.
+        merged = (
+            gf == (2 * gc[0], 2 * gc[1])
+            and h % gf[0] == 0 and w % gf[1] == 0
+            and _auto_method(h // gf[0], w // gf[1])
+            == _auto_method(h // gc[0], w // gc[1]))
     if merged:
         # 2+3) one dual-grid CLAHE: per-image input select (dark images see
         # the gamma-corrected frame), one histogram pass, one round-trip.
