@@ -125,6 +125,53 @@ class TestBatchAggregator:
 
 
 @pytest.mark.unit
+class TestExportedServing:
+    """AOT StableHLO export bundle (serving/export.py)."""
+
+    def test_export_roundtrip_matches_engine(self, engine, tmp_path):
+        from thyroid_tpu.serving import export_engine, load_exported
+
+        out = str(tmp_path / "bundle")
+        manifest = export_engine(engine, out, buckets=(1, 4))
+        assert manifest["buckets"] == [1, 4]
+        assert (tmp_path / "bundle" / "bucket_4.stablehlo").exists()
+        assert (tmp_path / "bundle" / "params.npz").exists()
+
+        loaded = load_exported(out)
+        x = np.random.RandomState(0).rand(3, 32, 32, 1).astype(np.float32)
+        got = loaded.predict(x)           # pads 3→4, slices back
+        want = engine.predict(x)
+        assert got.shape == (3, 2)
+        # identical traced program → numerically identical results
+        assert np.allclose(got, want, atol=1e-6)
+
+    def test_exported_predict_chunks_large_requests(self, engine, tmp_path):
+        from thyroid_tpu.serving import export_engine, load_exported
+
+        out = str(tmp_path / "bundle")
+        export_engine(engine, out, buckets=(1, 4))
+        loaded = load_exported(out)
+        x = np.random.RandomState(1).rand(9, 32, 32, 1).astype(np.float32)
+        got = loaded.predict(x)           # 9 > top bucket 4 → chunked
+        assert got.shape == (9, 2)
+        assert np.allclose(got, engine.predict(x), atol=1e-6)
+
+    def test_export_rejects_mesh_engines(self, engine, tmp_path):
+        from thyroid_tpu.serving import export_engine
+
+        engine_like = type("E", (), {"mesh": object()})()
+        with pytest.raises(ValueError):
+            export_engine(engine_like, str(tmp_path / "b"))
+
+    def test_load_rejects_non_bundle(self, tmp_path):
+        from thyroid_tpu.serving import load_exported
+
+        (tmp_path / "manifest.json").write_text("{}")
+        with pytest.raises(ValueError):
+            load_exported(str(tmp_path))
+
+
+@pytest.mark.unit
 class TestShardedServing:
     """Multi-chip serving: batch sharded over the mesh's data axis,
     params replicated — same numbers as the single-device engine."""
