@@ -99,30 +99,44 @@ def main() -> None:
                         "(ICI data-parallel serving; buckets round up to "
                         "multiples of N)")
     p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--bundle", default=None,
+                   help="serve a frozen StableHLO export bundle "
+                        "(scripts/export_serving.py) — no model code runs")
     args = p.parse_args()
 
     from thyroid_tpu.serving import BatchAggregator, InferenceEngine
 
-    mcfg = None
-    if args.model:
-        mcfg = {"name": args.model, "in_channels": 1, "num_classes": 2,
-                "dtype": "bf16"}
-        if args.img_size:
-            mcfg["img_size"] = args.img_size
-    mesh = None
-    if args.data_parallel > 1:
-        from thyroid_tpu.parallel.mesh import create_mesh
+    if args.bundle is not None:
+        if args.checkpoint or args.model or args.quantize \
+                or args.data_parallel > 1:
+            p.error("--bundle is exclusive with --checkpoint/--model/"
+                    "--quantize/--data-parallel (the bundle froze those "
+                    "choices at export time)")
+        from thyroid_tpu.serving import load_exported
 
-        mesh = create_mesh({"data": args.data_parallel})
-    engine = InferenceEngine(model_config=mcfg, checkpoint=args.checkpoint,
-                             buckets=args.buckets, quality=args.quality,
-                             raw_inputs=not args.preprocessed,
-                             quantize=args.quantize, mesh=mesh)
+        engine = load_exported(args.bundle)
+        name = f"bundle:{engine.manifest['model_config'].get('name', '?')}"
+    else:
+        mcfg = None
+        if args.model:
+            mcfg = {"name": args.model, "in_channels": 1, "num_classes": 2,
+                    "dtype": "bf16"}
+            if args.img_size:
+                mcfg["img_size"] = args.img_size
+        mesh = None
+        if args.data_parallel > 1:
+            from thyroid_tpu.parallel.mesh import create_mesh
+
+            mesh = create_mesh({"data": args.data_parallel})
+        engine = InferenceEngine(model_config=mcfg, checkpoint=args.checkpoint,
+                                 buckets=args.buckets, quality=args.quality,
+                                 raw_inputs=not args.preprocessed,
+                                 quantize=args.quantize, mesh=mesh)
+        name = args.model or str(args.checkpoint)
     if not args.no_warmup:
         print("warming up bucket programs...", flush=True)
         engine.warmup()
     aggregator = BatchAggregator(engine, max_delay_ms=args.max_delay_ms)
-    name = args.model or str(args.checkpoint)
     server = ThreadingHTTPServer((args.host, args.port),
                                  build_handler(engine, aggregator, name))
     print(f"serving {name} on http://{args.host}:{args.port}", flush=True)

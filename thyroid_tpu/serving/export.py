@@ -60,11 +60,15 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
 
 
 def export_engine(engine: Any, out_dir: str,
-                  buckets: Sequence[int] | None = None) -> Dict[str, Any]:
+                  buckets: Sequence[int] | None = None,
+                  platforms: Sequence[str] = ("cpu", "tpu")) -> Dict[str, Any]:
     """Export an `InferenceEngine`'s bucket programs to `out_dir`.
 
     Returns the manifest dict. The engine must be single-device
     (mesh=None) — exported artifacts pin the lowering-time topology.
+    `platforms` lowers each artifact for every listed backend (default
+    cpu+tpu) so a bundle built on a CPU host deploys to TPU serving
+    unchanged; artifacts refuse to run elsewhere at call time.
     """
     from jax import export as jax_export
 
@@ -82,7 +86,21 @@ def export_engine(engine: Any, out_dir: str,
     for b in buckets:
         x_shape = jax.ShapeDtypeStruct(
             (b, side, side, 1), jnp.float32)
-        exp = jax_export.export(engine._fn(b))(var_shapes, x_shape)
+        # NOTE: the traced program is platform-shaped — ops-level code picks
+        # Pallas kernels when tracing ON TPU (ops/tpu_platform.is_tpu), and
+        # Mosaic custom-calls may not cross-lower to other backends. If the
+        # multi-platform lowering fails, fall back to the current platform.
+        try:
+            exp = jax_export.export(engine._fn(b),
+                                    platforms=list(platforms))(
+                var_shapes, x_shape)
+        except Exception:
+            if len(platforms) == 1:
+                raise
+            platforms = (jax.default_backend(),)
+            exp = jax_export.export(engine._fn(b),
+                                    platforms=list(platforms))(
+                var_shapes, x_shape)
         name = f"bucket_{b}.stablehlo"
         with open(os.path.join(out_dir, name), "wb") as f:
             f.write(exp.serialize())
@@ -104,6 +122,7 @@ def export_engine(engine: Any, out_dir: str,
         "quality": engine.quality,
         "mean": list(engine.mean),
         "std": list(engine.std),
+        "platforms": list(platforms),
         "artifacts": artifacts,
     }
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
@@ -140,6 +159,14 @@ class ExportedEngine:
             if n <= b:
                 return b
         return self.buckets[-1]
+
+    def warmup(self) -> None:
+        """Compile every deserialized bucket program up front."""
+        for art in self.manifest["artifacts"]:
+            shape = tuple(art["input_shape"])
+            jax.block_until_ready(
+                self._fns[int(art["bucket"])](self.variables,
+                                              jnp.zeros(shape, jnp.float32)))
 
     def predict(self, images: np.ndarray) -> np.ndarray:
         images = np.asarray(images, np.float32)
