@@ -333,6 +333,20 @@ class TestQualityPipeline:
         out = np.asarray(quality_preprocess(jnp.asarray(x)))
         assert out.mean() <= x.mean() * 10.0 + 1.0
 
+    def test_fused_median_bilateral_matches_xla(self):
+        from thyroid_tpu.ops.image import bilateral_filter, median_filter_3x3
+        from thyroid_tpu.ops.stencil import fused_median_bilateral
+
+        x8 = np.floor(RS.rand(2, 64, 64, 1) * 256).clip(0, 255) \
+            .astype(np.float32)
+        med_k, bil_k = fused_median_bilateral(jnp.asarray(x8))
+        med_x = median_filter_3x3(jnp.asarray(x8))
+        bil_x = bilateral_filter(med_x)
+        # median: identical comparator network → exact
+        assert np.array_equal(np.asarray(med_k), np.asarray(med_x))
+        # bilateral: same taps/weights, different summation order
+        assert np.abs(np.asarray(bil_k) - np.asarray(bil_x)).max() < 1e-2
+
     def test_fused_stats_quantile_matches_xla(self):
         from thyroid_tpu.ops.image import per_image_quantile_fast, quality_stats
         from thyroid_tpu.ops.percentile import fused_stats_quantile

@@ -383,14 +383,25 @@ def suppress_artifacts(
         p_high = per_image_quantile_fast(x, percentile / 100.0)
     clipped = jnp.clip(x, 0.0, p_high)
     x8 = jnp.floor(clipped / 256.0)  # uint8 cast truncates
-    med = median_filter_3x3(x8)
+    from .stencil import fused_median_bilateral, stencil_kernel_ok
+    from .tpu_platform import is_tpu
+
+    if is_tpu() and stencil_kernel_ok(*x8.shape[1:]):
+        # one VMEM-resident pass for both filters (ops/stencil.py) — the
+        # XLA formulations are HBM-bound (the bilateral materialises a
+        # 25-tap stack; the median runs ~19 full-resolution passes)
+        med, bil = fused_median_bilateral(
+            x8, d=bilateral_d, sigma_color=bilateral_sigma_color,
+            sigma_space=bilateral_sigma_space)
+    else:
+        med = median_filter_3x3(x8)
+        bil = bilateral_filter(
+            med, d=bilateral_d, sigma_color=bilateral_sigma_color,
+            sigma_space=bilateral_sigma_space,
+        )
     needs_bilateral = (
         med.reshape(x.shape[0], -1).max(axis=1) > 250.0
     ).reshape(-1, 1, 1, 1)
-    bil = bilateral_filter(
-        med, d=bilateral_d, sigma_color=bilateral_sigma_color,
-        sigma_space=bilateral_sigma_space,
-    )
     # cv2 bilateral returns uint8 → truncation before upscale
     out8 = jnp.where(needs_bilateral, jnp.floor(bil), med)
     return out8 * 256.0
