@@ -10,8 +10,8 @@ efficientnet_b0 (measured ~18.1k img/s on the v5e chip); pass --model
 swin_tiny for the accuracy flagship (~3.5k img/s with the fused
 head-packed Pallas window-attention kernel, on by default on TPU —
 docs/DESIGN.md round-2 notes). --quality runs the full quality-aware
-pipeline (~1.9k img/s after the round-3 merged dual-grid CLAHE: one
-histogram pass + one apply kernel serve both quality branches).
+pipeline (~3.1k img/s after the round-3 merged dual-grid CLAHE and the
+fused median+bilateral stencil kernel — docs/DESIGN.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
