@@ -267,6 +267,46 @@ class TestCLAHE:
         want = np.where(use_coarse[:, None, None, None], want_c, want_f)
         assert np.array_equal(got, want)
 
+    def test_dual_fused_epilogue_matches_composition(self):
+        # In-kernel uint16 round-trip epilogue + branch select must equal
+        # the unfused composition (round-trip outside, where() after),
+        # including the flat-image (span == 0) pass-through.
+        from thyroid_tpu.ops.clahe import (
+            clahe_uint16_dual, clahe_uint16_dual_fused)
+
+        x = u16_batch(5, 64, 64)
+        x[3] = 1234.0                                     # flat image
+        use_coarse = np.array([True, False, False, True, False])
+        apply = np.array([True, True, False, True, True])
+        got = np.asarray(clahe_uint16_dual_fused(
+            jnp.asarray(x), jnp.asarray(use_coarse), jnp.asarray(apply),
+            clip_coarse=2.0, grid_coarse=(16, 16),
+            clip_fine=0.03, grid_fine=(32, 32), method="pallas"))
+        eq = np.asarray(clahe_uint16_dual(
+            jnp.asarray(x), jnp.asarray(use_coarse),
+            clip_coarse=2.0, grid_coarse=(16, 16),
+            clip_fine=0.03, grid_fine=(32, 32), method="pallas"))
+        want = np.where(apply[:, None, None, None], eq, x)
+        assert np.array_equal(got, want)
+
+    def test_dual_fused_fallback_matches_composition(self):
+        from thyroid_tpu.ops.clahe import (
+            clahe_uint16_dual, clahe_uint16_dual_fused)
+
+        x = u16_batch(3, 64, 64)
+        use_coarse = np.array([True, False, True])
+        apply = np.array([True, False, True])
+        got = np.asarray(clahe_uint16_dual_fused(
+            jnp.asarray(x), jnp.asarray(use_coarse), jnp.asarray(apply),
+            clip_coarse=2.0, grid_coarse=(16, 16),
+            clip_fine=0.03, grid_fine=(32, 32), method="gather"))
+        eq = np.asarray(clahe_uint16_dual(
+            jnp.asarray(x), jnp.asarray(use_coarse),
+            clip_coarse=2.0, grid_coarse=(16, 16),
+            clip_fine=0.03, grid_fine=(32, 32), method="gather"))
+        want = np.where(apply[:, None, None, None], eq, x)
+        assert np.array_equal(got, want)
+
     def test_dual_rejects_non_nesting_grids(self):
         from thyroid_tpu.ops.clahe import clahe_8bit_dual
 

@@ -319,33 +319,21 @@ def _bit_select_tree(tab: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
     return chunks[0]
 
 
-def _quadrant_apply_dual_kernel(sel_ref, x_ref, ctop_ref, cbot_ref,
-                                ftop_ref, fbot_ref, o_ref, *,
-                                tile_c: tuple[int, int],
-                                tile_f: tuple[int, int], n_h2f: int):
-    """One fine half-block ROW of the DUAL-grid quadrant LUT apply.
-
-    Runs the expensive bit-select tree ONCE per pixel block, selecting
-    per image between the coarse- and fine-grid blended LUT tabs (the
-    quality pipeline's dark/low-contrast branches are exclusive, so each
-    image needs exactly one of the two) — instead of one full-batch apply
-    pass per parameterisation. The fine half-block rows nest inside
-    coarse half-blocks (t2h_c = 2·t2h_f), so both grids' neighbour LUT
-    rows arrive via static BlockSpec index maps of the same grid step.
-
-    sel_ref: (B,) int32 scalar-prefetch — 1 where the image takes the
-    coarse grid; x_ref: (1, t2h_f, W); c*/f*: (1, 1, gw, 256) raw LUT
-    tile rows.
+def _dual_apply_blend(sel, x, ctop_ref, cbot_ref, ftop_ref, fbot_ref, *,
+                      tile_c: tuple[int, int], tile_f: tuple[int, int],
+                      n_h2f: int) -> jnp.ndarray:
+    """Core of the dual-grid quadrant apply: one bit-select tree pass,
+    per-image coarse/fine tab selection. sel: bool scalar for this image;
+    x: (t2h_f, W) f32 pixels; c*/f*: (1, 1, gw, 256) raw LUT tile rows.
+    Returns the blended equalised block (t2h_f, W) f32.
     """
     th_c, tw_c = tile_c
     th_f, tw_f = tile_f
     t2h_f, t2w_f = th_f // 2, tw_f // 2
     t2w_c = tw_c // 2
-    x = x_ref[0].astype(jnp.float32)                      # (t2h_f, W)
     w = x.shape[1]
     gw_c = ctop_ref.shape[2]
     gw_f = ftop_ref.shape[2]
-    sel = sel_ref[pl.program_id(0) // n_h2f] > 0
 
     e_c = _expand_matrix(gw_c, w, t2w_c, tw_c)
     e_f = _expand_matrix(gw_f, w, t2w_f, tw_f)
@@ -373,8 +361,71 @@ def _quadrant_apply_dual_kernel(sel_ref, x_ref, ctop_ref, cbot_ref,
 
     xi = jnp.concatenate([x, x], axis=1).astype(jnp.int32)  # (t2h_f, 2W)
     res = _bit_select_tree(tab, xi)
-    o_ref[0] = (res[:, :w] * (1.0 - wy)
-                + res[:, w:] * wy).astype(o_ref.dtype)
+    return res[:, :w] * (1.0 - wy) + res[:, w:] * wy
+
+
+def _quadrant_apply_dual_kernel(sel_ref, x_ref, ctop_ref, cbot_ref,
+                                ftop_ref, fbot_ref, o_ref, *,
+                                tile_c: tuple[int, int],
+                                tile_f: tuple[int, int], n_h2f: int):
+    """One fine half-block ROW of the DUAL-grid quadrant LUT apply.
+
+    Runs the expensive bit-select tree ONCE per pixel block, selecting
+    per image between the coarse- and fine-grid blended LUT tabs (the
+    quality pipeline's dark/low-contrast branches are exclusive, so each
+    image needs exactly one of the two) — instead of one full-batch apply
+    pass per parameterisation. The fine half-block rows nest inside
+    coarse half-blocks (t2h_c = 2·t2h_f), so both grids' neighbour LUT
+    rows arrive via static BlockSpec index maps of the same grid step.
+
+    sel_ref: (B,) int32 scalar-prefetch — 1 where the image takes the
+    coarse grid; x_ref: (1, t2h_f, W); c*/f*: (1, 1, gw, 256) raw LUT
+    tile rows.
+    """
+    sel = sel_ref[pl.program_id(0) // n_h2f] > 0
+    res = _dual_apply_blend(
+        sel, x_ref[0].astype(jnp.float32), ctop_ref, cbot_ref, ftop_ref,
+        fbot_ref, tile_c=tile_c, tile_f=tile_f, n_h2f=n_h2f)
+    o_ref[0] = res.astype(o_ref.dtype)
+
+
+def _quadrant_apply_dual_fused_kernel(
+        sel_ref, apply_ref, lo_ref, span_ref, x_ref, orig_ref, ctop_ref,
+        cbot_ref, ftop_ref, fbot_ref, o_ref, *, tile_c: tuple[int, int],
+        tile_f: tuple[int, int], n_h2f: int):
+    """Dual-grid quadrant apply with the uint16 round-trip EPILOGUE and the
+    pipeline's branch select folded in (round 3, the "apply epilogue" lead).
+
+    The unfused composition writes the 8-bit equalised frame to HBM, then a
+    separate fusion rounds/rescales it to the uint16 range, and a third
+    where-pass selects equalised vs untouched per image — three extra
+    full-resolution HBM passes. Here the kernel finishes the job in VMEM:
+
+        eq    = round(blend)                         (cv2 saturate_cast)
+        out16 = floor(clip(eq/255·span + lo, 0, 65535))
+        o     = apply & span>0 ? out16
+              : apply & span<=0 ? floor(orig)        (flat-image identity)
+              : orig                                 (untouched frame)
+
+    apply_ref/lo_ref/span_ref: (B,) scalar-prefetch; orig_ref: the
+    pre-normalisation uint16-scale rows (1, t2h_f, W) — equals the
+    pipeline's pass-through frame where `apply` is off.
+    """
+    i = pl.program_id(0) // n_h2f
+    sel = sel_ref[i] > 0
+    res = _dual_apply_blend(
+        sel, x_ref[0].astype(jnp.float32), ctop_ref, cbot_ref, ftop_ref,
+        fbot_ref, tile_c=tile_c, tile_f=tile_f, n_h2f=n_h2f)
+    eq = jnp.round(res)
+    lo = lo_ref[i]
+    span = span_ref[i]
+    out16 = jnp.clip(eq / 255.0 * span + lo, 0.0, 65535.0)
+    orig = orig_ref[0].astype(jnp.float32)
+    take = (apply_ref[i] > 0) & (span > 0.0)
+    flatpass = (apply_ref[i] > 0) & (span <= 0.0)
+    out = jnp.where(take, jnp.floor(out16),
+                    jnp.where(flatpass, jnp.floor(orig), orig))
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _interp_luts_pallas_dual(x8: jnp.ndarray, luts_c: jnp.ndarray,
@@ -433,6 +484,77 @@ def _interp_luts_pallas_dual(x8: jnp.ndarray, luts_c: jnp.ndarray,
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(sel, xrows, luts_c.reshape(b, gch, gcw, 256),
+      luts_c.reshape(b, gch, gcw, 256), luts_f.reshape(b, gfh, gfw, 256),
+      luts_f.reshape(b, gfh, gfw, 256))
+    return out.reshape(b, h, w)
+
+
+def _interp_luts_pallas_dual_fused(
+        x8: jnp.ndarray, orig: jnp.ndarray, luts_c: jnp.ndarray,
+        luts_f: jnp.ndarray, use_coarse: jnp.ndarray, apply: jnp.ndarray,
+        lo: jnp.ndarray, span: jnp.ndarray, grid_c: tuple[int, int],
+        grid_f: tuple[int, int], interpret: bool | None = None) -> jnp.ndarray:
+    """Dual-grid quadrant apply + in-kernel uint16 round-trip epilogue.
+
+    Returns the FINAL uint16-scale frame: equalised where `apply`, the
+    untouched `orig` rows elsewhere — no post-kernel full-resolution pass.
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    b, h, w = x8.shape
+    gch, gcw = grid_c
+    gfh, gfw = grid_f
+    th_c, tw_c = h // gch, w // gcw
+    th_f, tw_f = h // gfh, w // gfw
+    t2h_f = th_f // 2
+    H2f = 2 * gfh
+
+    def top_f_map(i, *refs):
+        hy = i % H2f
+        return (i // H2f, jnp.clip((hy - 1) // 2, 0, gfh - 1), 0, 0)
+
+    def bot_f_map(i, *refs):
+        hy = i % H2f
+        return (i // H2f, jnp.clip((hy - 1) // 2 + 1, 0, gfh - 1), 0, 0)
+
+    def top_c_map(i, *refs):
+        hy = (i % H2f) // 2
+        return (i // H2f, jnp.clip((hy - 1) // 2, 0, gch - 1), 0, 0)
+
+    def bot_c_map(i, *refs):
+        hy = (i % H2f) // 2
+        return (i // H2f, jnp.clip((hy - 1) // 2 + 1, 0, gch - 1), 0, 0)
+
+    def row_map(i, *refs):
+        return (i, 0, 0)
+
+    xrows = jnp.clip(x8, 0, 255).reshape(b * H2f, t2h_f, w)
+    orows = orig.reshape(b * H2f, t2h_f, w)
+    kernel = partial(_quadrant_apply_dual_fused_kernel, tile_c=(th_c, tw_c),
+                     tile_f=(th_f, tw_f), n_h2f=H2f)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(b * H2f,),
+            in_specs=[
+                pl.BlockSpec((1, t2h_f, w), row_map),
+                pl.BlockSpec((1, t2h_f, w), row_map),
+                pl.BlockSpec((1, 1, gcw, 256), top_c_map),
+                pl.BlockSpec((1, 1, gcw, 256), bot_c_map),
+                pl.BlockSpec((1, 1, gfw, 256), top_f_map),
+                pl.BlockSpec((1, 1, gfw, 256), bot_f_map),
+            ],
+            out_specs=pl.BlockSpec((1, t2h_f, w), row_map),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * H2f, t2h_f, w), orig.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(use_coarse.astype(jnp.int32).reshape(b),
+      apply.astype(jnp.int32).reshape(b),
+      lo.astype(jnp.float32).reshape(b), span.astype(jnp.float32).reshape(b),
+      xrows, orows, luts_c.reshape(b, gch, gcw, 256),
       luts_c.reshape(b, gch, gcw, 256), luts_f.reshape(b, gfh, gfw, 256),
       luts_f.reshape(b, gfh, gfw, 256))
     return out.reshape(b, h, w)
@@ -567,6 +689,26 @@ def _auto_method(th: int, tw: int) -> str:
             else "gather")
 
 
+def _dual_luts(x8: jnp.ndarray, clip_coarse: float,
+               grid_coarse: tuple[int, int], clip_fine: float,
+               grid_fine: tuple[int, int]) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """ONE fine-grid histogram pass feeding both LUT chains (the coarse
+    tile histograms are exact 2×2 sums of the fine ones — same pixels,
+    integer-valued f32 counts, so the sum is associative-exact)."""
+    b, h, w = x8.shape
+    gch, gcw = grid_coarse
+    gfh, gfw = grid_fine
+    area_f = (h // gfh) * (w // gfw)
+    area_c = area_f * 4
+
+    hist_f = _tile_hists(x8, grid_fine,
+                         method="onehot" if _is_tpu() else None)
+    hist_c = hist_f.reshape(b, gch, 2, gcw, 2, 256).sum(axis=(2, 4))
+    luts_c = _luts_from_hists(hist_c, area_c, clip_coarse)
+    luts_f = _luts_from_hists(hist_f, area_f, clip_fine)
+    return luts_c, luts_f
+
+
 @partial(jax.jit, static_argnames=("clip_coarse", "grid_coarse", "clip_fine",
                                    "grid_fine", "method"))
 def clahe_8bit_dual(
@@ -605,14 +747,8 @@ def clahe_8bit_dual(
             f"{grid_coarse} vs {grid_fine}")
     if h % gfh or w % gfw:
         raise ValueError(f"image {h}x{w} not divisible by CLAHE grid {grid_fine}")
-    area_f = (h // gfh) * (w // gfw)
-    area_c = area_f * 4
-
-    hist_f = _tile_hists(x8, grid_fine,
-                         method="onehot" if _is_tpu() else None)
-    hist_c = hist_f.reshape(b, gch, 2, gcw, 2, 256).sum(axis=(2, 4))
-    luts_c = _luts_from_hists(hist_c, area_c, clip_coarse)
-    luts_f = _luts_from_hists(hist_f, area_f, clip_fine)
+    luts_c, luts_f = _dual_luts(x8, clip_coarse, grid_coarse, clip_fine,
+                                grid_fine)
 
     # NOTE: ONE method serves both branches (the dual kernel is a single
     # program). The per-image identity with standalone `clahe_8bit` holds
@@ -658,3 +794,66 @@ def clahe_uint16_dual(
         x, lambda x8: clahe_8bit_dual(
             x8, use_coarse, clip_coarse, grid_coarse, clip_fine, grid_fine,
             method=method))
+
+
+@partial(jax.jit, static_argnames=("clip_coarse", "grid_coarse", "clip_fine",
+                                   "grid_fine", "method"))
+def clahe_uint16_dual_fused(
+    x: jnp.ndarray,
+    use_coarse: jnp.ndarray,
+    apply: jnp.ndarray,
+    clip_coarse: float,
+    grid_coarse: tuple[int, int],
+    clip_fine: float,
+    grid_fine: tuple[int, int],
+    method: str | None = None,
+) -> jnp.ndarray:
+    """Dual-grid uint16 CLAHE with the round-trip epilogue AND the
+    pipeline's per-image branch select fused into the apply kernel.
+
+    Equivalent to
+
+        eq = clahe_uint16_dual(x, use_coarse, ...)
+        where(apply[:, None, None, None], eq, x)
+
+    but on TPU (method="pallas") the denormalisation (÷255·span+lo, clip,
+    floor) and the apply/pass-through select happen in the kernel's VMEM
+    epilogue, eliminating the equalised frame's HBM round-trip and the
+    separate full-resolution where-pass (reference semantics:
+    src/data/quality_preprocessing.py:125-147 + the exclusive branch
+    dispatch at :199-216).
+
+    x: (B, H, W, 1) float on the uint16 scale; use_coarse/apply: (B,) bool.
+    """
+    b, h, w = x.shape[0], x.shape[1], x.shape[2]
+    gch, gcw = grid_coarse
+    gfh, gfw = grid_fine
+    if (gfh, gfw) != (2 * gch, 2 * gcw):
+        raise ValueError(
+            f"dual CLAHE needs grid_fine == 2*grid_coarse, got "
+            f"{grid_coarse} vs {grid_fine}")
+    if h % gfh or w % gfw:
+        raise ValueError(
+            f"image {h}x{w} not divisible by CLAHE grid {grid_fine}")
+    if method is None:
+        method = _auto_method(h // gfh, w // gfw)
+    if method != "pallas":
+        eq = clahe_uint16_dual(
+            x, use_coarse, clip_coarse=clip_coarse, grid_coarse=grid_coarse,
+            clip_fine=clip_fine, grid_fine=grid_fine, method=method)
+        return jnp.where(apply.reshape(b, 1, 1, 1), eq, x)
+
+    # identical normalisation math to _uint16_roundtrip (bit-parity)
+    img = x[..., 0]
+    flat = img.reshape(b, -1)
+    lo = flat.min(axis=1).reshape(b, 1, 1)
+    hi = flat.max(axis=1).reshape(b, 1, 1)
+    span = hi - lo
+    norm01 = (img - lo) / (span + 1e-8)
+    x8 = jnp.floor(norm01 * 255.0)
+    luts_c, luts_f = _dual_luts(x8, clip_coarse, grid_coarse, clip_fine,
+                                grid_fine)
+    out = _interp_luts_pallas_dual_fused(
+        x8, img, luts_c, luts_f, use_coarse, apply, lo.reshape(b),
+        span.reshape(b), grid_coarse, grid_fine)
+    return out[..., None]

@@ -101,6 +101,12 @@ def quality_preprocess(x: jnp.ndarray, params: QualityParams = QualityParams(),
     if merged:
         # 2+3) one dual-grid CLAHE: per-image input select (dark images see
         # the gamma-corrected frame), one histogram pass, one round-trip.
+        # NOTE: `clahe_uint16_dual_fused` (round-trip epilogue + this
+        # where() folded into the apply kernel) measured 3070 vs 3097 img/s
+        # (−0.9%, twice) — the tail passes already hide under the
+        # compute-bound hist/apply kernels and the kernel's extra
+        # pass-through input stream costs more than the saved writes, so
+        # the composition below stays the default (docs/DESIGN.md).
         clahe_in = jnp.where(
             m_dark, gamma_correct(processed, params.extreme_dark_gamma),
             processed)
