@@ -228,7 +228,15 @@ class KFoldExperiment(BaseExperiment):
                                        "raw_fold_results": self.fold_results}
             return
         aggregated: Dict[str, Any] = {}
-        for key in valid[0]:
+        # union of keys across folds — a metric present only in later folds
+        # (e.g. after a partial fold failure) must not be silently dropped
+        # (the reference iterates fold-1 keys only, kfold_experiment.py:380-422)
+        keys: list = []
+        for r in valid:
+            for key in r:
+                if key not in keys:
+                    keys.append(key)
+        for key in keys:
             values = [r[key] for r in valid
                       if isinstance(r.get(key), (int, float))
                       and np.isfinite(r.get(key))]

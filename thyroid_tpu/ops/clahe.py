@@ -410,6 +410,11 @@ def _quadrant_apply_dual_fused_kernel(
     apply_ref/lo_ref/span_ref: (B,) scalar-prefetch; orig_ref: the
     pre-normalisation uint16-scale rows (1, t2h_f, W) — equals the
     pipeline's pass-through frame where `apply` is off.
+
+    Bit-parity note: the blend is rounded in f32 here, whereas the unfused
+    composition casts the dual-apply output to x8's dtype before rounding
+    (_uint16_roundtrip). Parity with the composition therefore holds for
+    f32 inputs — the only dtype the pipeline and tests use.
     """
     i = pl.program_id(0) // n_h2f
     sel = sel_ref[i] > 0
@@ -837,6 +842,12 @@ def clahe_uint16_dual_fused(
             f"image {h}x{w} not divisible by CLAHE grid {grid_fine}")
     if method is None:
         method = _auto_method(h // gfh, w // gfw)
+    if method == "pallas" and ((h // gfh) % 2 or (w // gfw) % 2):
+        # mirror clahe_8bit_dual's guard: the quadrant kernel's half-tile
+        # indexing (t2w = tw//2) is silently wrong for odd fine tile widths
+        raise ValueError(
+            f"quadrant CLAHE needs even tile sides, got "
+            f"{h // gfh}x{w // gfw}")
     if method != "pallas":
         eq = clahe_uint16_dual(
             x, use_coarse, clip_coarse=clip_coarse, grid_coarse=grid_coarse,
