@@ -339,34 +339,54 @@ class TestDenseNetImport:
 # ---------------------------------------------------------------------------
 
 class TimmMBConv(tnn.Module):
+    """Faithful timm naming per block type: InvertedResidual (expand≠1:
+    conv_pw/bn1/conv_dw/bn2/se/conv_pwl/bn3 — timm registers the expansion
+    conv FIRST) vs DepthwiseSeparableConv (expand=1:
+    conv_dw/bn1/se/conv_pw/bn2)."""
+
     def __init__(self, cin, cout, expand, k, s):
         super().__init__()
         exp = cin * expand
         self.has_expand = expand != 1
+        se_ch = max(1, int(cin * 0.25))
         if self.has_expand:
             self.conv_pw = tnn.Conv2d(cin, exp, 1, bias=False)
             self.bn1 = tnn.BatchNorm2d(exp)
-        self.conv_dw = tnn.Conv2d(exp, exp, k, s, k // 2, groups=exp,
-                                  bias=False)
-        self.bn2 = tnn.BatchNorm2d(exp)
-        se_ch = max(1, int(cin * 0.25))
-        self.se = tnn.Module()
-        self.se.conv_reduce = tnn.Conv2d(exp, se_ch, 1)
-        self.se.conv_expand = tnn.Conv2d(se_ch, exp, 1)
-        self.conv_pwl = tnn.Conv2d(exp, cout, 1, bias=False)
-        self.bn3 = tnn.BatchNorm2d(cout)
+            self.conv_dw = tnn.Conv2d(exp, exp, k, s, k // 2, groups=exp,
+                                      bias=False)
+            self.bn2 = tnn.BatchNorm2d(exp)
+            self.se = tnn.Module()
+            self.se.conv_reduce = tnn.Conv2d(exp, se_ch, 1)
+            self.se.conv_expand = tnn.Conv2d(se_ch, exp, 1)
+            self.conv_pwl = tnn.Conv2d(exp, cout, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(cout)
+        else:
+            self.conv_dw = tnn.Conv2d(exp, exp, k, s, k // 2, groups=exp,
+                                      bias=False)
+            self.bn1 = tnn.BatchNorm2d(exp)
+            self.se = tnn.Module()
+            self.se.conv_reduce = tnn.Conv2d(exp, se_ch, 1)
+            self.se.conv_expand = tnn.Conv2d(se_ch, exp, 1)
+            self.conv_pw = tnn.Conv2d(exp, cout, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(cout)
         self.skip = s == 1 and cin == cout
 
     def forward(self, x):
         res = x
         h = x
+
+        def se(h):
+            s = h.mean((2, 3), keepdim=True)
+            s = self.se.conv_expand(F.silu(self.se.conv_reduce(s)))
+            return h * torch.sigmoid(s)
+
         if self.has_expand:
             h = F.silu(self.bn1(self.conv_pw(h)))
-        h = F.silu(self.bn2(self.conv_dw(h)))
-        s = h.mean((2, 3), keepdim=True)
-        s = self.se.conv_expand(F.silu(self.se.conv_reduce(s)))
-        h = h * torch.sigmoid(s)
-        h = self.bn3(self.conv_pwl(h))
+            h = F.silu(self.bn2(self.conv_dw(h)))
+            h = self.bn3(self.conv_pwl(se(h)))
+        else:
+            h = F.silu(self.bn1(self.conv_dw(h)))
+            h = self.bn2(self.conv_pw(se(h)))
         return h + res if self.skip else h
 
 

@@ -275,6 +275,249 @@ def import_swin(state_dict: Mapping[str, Any], in_channels: int = 1,
 
 
 # ---------------------------------------------------------------------------
+# Name-based importers for DenseNet / EfficientNet / Inception (timm /
+# torchvision key naming). Order-based matching (below) remains the fallback
+# for checkpoints with unrecognised naming, but against genuine timm
+# state_dicts these maps are robust to any module-registration-order
+# difference (VERDICT r2 item #7; reference wrappers:
+# src/models/cnn/{densenet.py:37-43,efficientnet.py:16,inception.py:13}).
+# ---------------------------------------------------------------------------
+
+class _NamedImport:
+    """Collects params/batch_stats while mapping dotted torch names."""
+
+    def __init__(self, state_dict: Mapping[str, Any]):
+        self.sd = state_dict
+        self.params: Dict[str, Any] = {}
+        self.stats: Dict[str, Any] = {}
+
+    def conv(self, src: str, dst: Tuple[str, ...],
+             in_channels: Optional[int] = None, bias: bool = False) -> None:
+        _set(self.params, dst + ("kernel",),
+             conv_to_flax(self.sd[f"{src}.weight"], in_channels))
+        if bias:
+            _set(self.params, dst + ("bias",), _np(self.sd[f"{src}.bias"]))
+
+    def bn(self, src: str, dst: Tuple[str, ...]) -> None:
+        _set(self.params, dst + ("scale",), _np(self.sd[f"{src}.weight"]))
+        _set(self.params, dst + ("bias",), _np(self.sd[f"{src}.bias"]))
+        _set(self.stats, dst + ("mean",), _np(self.sd[f"{src}.running_mean"]))
+        _set(self.stats, dst + ("var",), _np(self.sd[f"{src}.running_var"]))
+
+    def convbn(self, src: str, dst: Tuple[str, ...],
+               in_channels: Optional[int] = None) -> None:
+        """timm/torchvision BasicConv2d ({src}.conv + {src}.bn) → our ConvBN
+        ({dst}.Conv_0 + {dst}.BatchNorm_0)."""
+        self.conv(f"{src}.conv", dst + ("Conv_0",), in_channels)
+        self.bn(f"{src}.bn", dst + ("BatchNorm_0",))
+
+    def dense(self, src: str, dst: Tuple[str, ...],
+              num_classes: Optional[int]) -> bool:
+        w = _np(self.sd[f"{src}.weight"])
+        if num_classes is not None and w.shape[0] != num_classes:
+            return False  # mismatched classifier head → keep fresh init
+        _set(self.params, dst + ("kernel",), linear_to_flax(w))
+        _set(self.params, dst + ("bias",), _np(self.sd[f"{src}.bias"]))
+        return True
+
+    def out(self) -> Dict[str, Any]:
+        return {"params": self.params, "batch_stats": self.stats}
+
+
+def import_densenet(state_dict: Mapping[str, Any], in_channels: int = 1,
+                    num_classes: Optional[int] = 2) -> Dict[str, Any]:
+    """timm/torchvision DenseNet naming (features.denseblockB.denselayerL.
+    {norm1,conv1,norm2,conv2}, features.transitionB.{norm,conv},
+    features.{conv0,norm0,norm5}, classifier) → models.cnn.densenet.DenseNet."""
+    import re
+
+    im = _NamedImport(state_dict)
+    im.conv("features.conv0", ("conv0",), in_channels)
+    im.bn("features.norm0", ("norm0",))
+    blocks: Dict[int, set] = {}
+    for k in state_dict:
+        m = re.match(r"features\.denseblock(\d+)\.denselayer(\d+)\.", k)
+        if m:
+            blocks.setdefault(int(m.group(1)), set()).add(int(m.group(2)))
+    for b in sorted(blocks):
+        for layer in sorted(blocks[b]):
+            src = f"features.denseblock{b}.denselayer{layer}"
+            dst = (f"denseblock{b}_layer{layer}",)
+            im.bn(f"{src}.norm1", dst + ("BatchNorm_0",))
+            im.conv(f"{src}.conv1", dst + ("Conv_0",))
+            im.bn(f"{src}.norm2", dst + ("BatchNorm_1",))
+            im.conv(f"{src}.conv2", dst + ("Conv_1",))
+        if f"features.transition{b}.norm.weight" in state_dict:
+            dst = (f"transition{b}",)
+            im.bn(f"features.transition{b}.norm", dst + ("BatchNorm_0",))
+            im.conv(f"features.transition{b}.conv", dst + ("Conv_0",))
+    im.bn("features.norm5", ("norm_final",))  # torchvision: always 'norm5'
+    im.dense("classifier", ("classifier",), num_classes)
+    return im.out()
+
+
+def import_efficientnet(state_dict: Mapping[str, Any], in_channels: int = 1,
+                        num_classes: Optional[int] = 2) -> Dict[str, Any]:
+    """timm EfficientNet naming (conv_stem/bn1, blocks.S.I.{conv_pw,bn1,
+    conv_dw,bn2,se.conv_reduce,se.conv_expand,conv_pwl,bn3} for
+    InvertedResidual / {conv_dw,bn1,se.*,conv_pw,bn2} for
+    DepthwiseSeparableConv, conv_head/bn2, classifier) →
+    models.cnn.efficientnet.EfficientNet."""
+    import re
+
+    im = _NamedImport(state_dict)
+    im.conv("conv_stem", ("stem_conv",), in_channels)
+    im.bn("bn1", ("stem_bn",))
+    blocks: Dict[int, set] = {}
+    for k in state_dict:
+        m = re.match(r"blocks\.(\d+)\.(\d+)\.", k)
+        if m:
+            blocks.setdefault(int(m.group(1)), set()).add(int(m.group(2)))
+    for s in sorted(blocks):
+        for i in sorted(blocks[s]):
+            src = f"blocks.{s}.{i}"
+            dst = (f"mbconv{s}_{i}",)
+            se = dst + ("SqueezeExcite_0",)
+            if f"{src}.conv_pwl.weight" in state_dict:  # InvertedResidual
+                im.conv(f"{src}.conv_pw", dst + ("Conv_0",))
+                im.bn(f"{src}.bn1", dst + ("BatchNorm_0",))
+                im.conv(f"{src}.conv_dw", dst + ("Conv_1",))
+                im.bn(f"{src}.bn2", dst + ("BatchNorm_1",))
+                im.conv(f"{src}.se.conv_reduce", se + ("Conv_0",), bias=True)
+                im.conv(f"{src}.se.conv_expand", se + ("Conv_1",), bias=True)
+                im.conv(f"{src}.conv_pwl", dst + ("Conv_2",))
+                im.bn(f"{src}.bn3", dst + ("BatchNorm_2",))
+            else:  # DepthwiseSeparableConv (stage 0, expand_ratio 1)
+                im.conv(f"{src}.conv_dw", dst + ("Conv_0",))
+                im.bn(f"{src}.bn1", dst + ("BatchNorm_0",))
+                im.conv(f"{src}.se.conv_reduce", se + ("Conv_0",), bias=True)
+                im.conv(f"{src}.se.conv_expand", se + ("Conv_1",), bias=True)
+                im.conv(f"{src}.conv_pw", dst + ("Conv_1",))
+                im.bn(f"{src}.bn2", dst + ("BatchNorm_1",))
+    im.conv("conv_head", ("head_conv",))
+    im.bn("bn2", ("head_bn",))
+    im.dense("classifier", ("classifier",), num_classes)
+    return im.out()
+
+
+# torchvision/timm inception_v3 module → our flax module (top level)
+_V3_TOP = {
+    "Conv2d_1a_3x3": "ConvBN_0", "Conv2d_2a_3x3": "ConvBN_1",
+    "Conv2d_2b_3x3": "ConvBN_2", "Conv2d_3b_1x1": "ConvBN_3",
+    "Conv2d_4a_3x3": "ConvBN_4",
+    "Mixed_5b": "InceptionA_0", "Mixed_5c": "InceptionA_1",
+    "Mixed_5d": "InceptionA_2", "Mixed_6a": "InceptionB_0",
+    "Mixed_6b": "InceptionC_0", "Mixed_6c": "InceptionC_1",
+    "Mixed_6d": "InceptionC_2", "Mixed_6e": "InceptionC_3",
+    "Mixed_7a": "InceptionD_0", "Mixed_7b": "InceptionE_0",
+    "Mixed_7c": "InceptionE_1",
+}
+# per-block branch → ConvBN index (our blocks create ConvBN in branch order)
+_V3_BRANCH = {
+    "InceptionA": {"branch1x1": 0, "branch5x5_1": 1, "branch5x5_2": 2,
+                   "branch3x3dbl_1": 3, "branch3x3dbl_2": 4,
+                   "branch3x3dbl_3": 5, "branch_pool": 6},
+    "InceptionB": {"branch3x3": 0, "branch3x3dbl_1": 1, "branch3x3dbl_2": 2,
+                   "branch3x3dbl_3": 3},
+    "InceptionC": {"branch1x1": 0, "branch7x7_1": 1, "branch7x7_2": 2,
+                   "branch7x7_3": 3, "branch7x7dbl_1": 4, "branch7x7dbl_2": 5,
+                   "branch7x7dbl_3": 6, "branch7x7dbl_4": 7,
+                   "branch7x7dbl_5": 8, "branch_pool": 9},
+    "InceptionD": {"branch3x3_1": 0, "branch3x3_2": 1, "branch7x7x3_1": 2,
+                   "branch7x7x3_2": 3, "branch7x7x3_3": 4, "branch7x7x3_4": 5},
+    "InceptionE": {"branch1x1": 0, "branch3x3_1": 1, "branch3x3_2a": 2,
+                   "branch3x3_2b": 3, "branch3x3dbl_1": 4, "branch3x3dbl_2": 5,
+                   "branch3x3dbl_3a": 6, "branch3x3dbl_3b": 7,
+                   "branch_pool": 8},
+}
+
+
+def import_inception_v3(state_dict: Mapping[str, Any], in_channels: int = 1,
+                        num_classes: Optional[int] = 2) -> Dict[str, Any]:
+    """torchvision/timm inception_v3 naming (Conv2d_*, Mixed_*, AuxLogits,
+    fc) → models.cnn.inception.InceptionV3."""
+    im = _NamedImport(state_dict)
+    for src, dst in _V3_TOP.items():
+        if dst.startswith("ConvBN"):
+            im.convbn(src, (dst,),
+                      in_channels if src == "Conv2d_1a_3x3" else None)
+        else:
+            family = dst.rsplit("_", 1)[0]
+            for branch, idx in _V3_BRANCH[family].items():
+                im.convbn(f"{src}.{branch}", (dst, f"ConvBN_{idx}"))
+    if "AuxLogits.conv0.conv.weight" in state_dict:
+        im.convbn("AuxLogits.conv0", ("aux_conv0",))
+        im.convbn("AuxLogits.conv1", ("aux_conv1",))
+        im.dense("AuxLogits.fc", ("aux_fc",), num_classes)
+    im.dense("fc", ("fc",), num_classes)
+    return im.out()
+
+
+def _v4_top_map() -> list:
+    """(torch src, flax dst) pairs for timm/Cadene inception_v4
+    (features.0-21, BasicConv2d = .conv/.bn, Sequential branches)."""
+    out = [(f"features.{i}", (f"ConvBN_{i}",)) for i in range(3)]  # stem
+    out.append(("features.3.conv", ("ConvBN_3",)))  # Mixed_3a
+    out += [(f"features.4.branch0.{j}", (f"ConvBN_{4 + j}",))
+            for j in range(2)]  # Mixed_4a branch0
+    out += [(f"features.4.branch1.{j}", (f"ConvBN_{6 + j}",))
+            for j in range(4)]  # Mixed_4a branch1
+    out.append(("features.5.conv", ("ConvBN_10",)))  # Mixed_5a
+    for k in range(4):  # Inception_A ×4
+        blk = f"features.{6 + k}"
+        dst = f"InceptionV4A_{k}"
+        out += [(f"{blk}.branch0", (dst, "ConvBN_0")),
+                (f"{blk}.branch1.0", (dst, "ConvBN_1")),
+                (f"{blk}.branch1.1", (dst, "ConvBN_2")),
+                (f"{blk}.branch2.0", (dst, "ConvBN_3")),
+                (f"{blk}.branch2.1", (dst, "ConvBN_4")),
+                (f"{blk}.branch2.2", (dst, "ConvBN_5")),
+                (f"{blk}.branch3.1", (dst, "ConvBN_6"))]
+    out.append(("features.10.branch0", ("ConvBN_11",)))  # Reduction_A
+    out += [(f"features.10.branch1.{j}", (f"ConvBN_{12 + j}",))
+            for j in range(3)]
+    for k in range(7):  # Inception_B ×7
+        blk = f"features.{11 + k}"
+        dst = f"InceptionV4B_{k}"
+        out += [(f"{blk}.branch0", (dst, "ConvBN_0"))]
+        out += [(f"{blk}.branch1.{j}", (dst, f"ConvBN_{1 + j}"))
+                for j in range(3)]
+        out += [(f"{blk}.branch2.{j}", (dst, f"ConvBN_{4 + j}"))
+                for j in range(5)]
+        out += [(f"{blk}.branch3.1", (dst, "ConvBN_9"))]
+    out += [(f"features.18.branch0.{j}", (f"ConvBN_{15 + j}",))
+            for j in range(2)]  # Reduction_B
+    out += [(f"features.18.branch1.{j}", (f"ConvBN_{17 + j}",))
+            for j in range(4)]
+    for k in range(3):  # Inception_C ×3
+        blk = f"features.{19 + k}"
+        dst = f"InceptionV4C_{k}"
+        out += [(f"{blk}.branch0", (dst, "ConvBN_0")),
+                (f"{blk}.branch1_0", (dst, "ConvBN_1")),
+                (f"{blk}.branch1_1a", (dst, "ConvBN_2")),
+                (f"{blk}.branch1_1b", (dst, "ConvBN_3")),
+                (f"{blk}.branch2_0", (dst, "ConvBN_4")),
+                (f"{blk}.branch2_1", (dst, "ConvBN_5")),
+                (f"{blk}.branch2_2", (dst, "ConvBN_6")),
+                (f"{blk}.branch2_3a", (dst, "ConvBN_7")),
+                (f"{blk}.branch2_3b", (dst, "ConvBN_8")),
+                (f"{blk}.branch3.1", (dst, "ConvBN_9"))]
+    return out
+
+
+def import_inception_v4(state_dict: Mapping[str, Any], in_channels: int = 1,
+                        num_classes: Optional[int] = 2) -> Dict[str, Any]:
+    """timm/Cadene inception_v4 naming (features.0-21 Sequential,
+    last_linear) → models.cnn.inception.InceptionV4."""
+    im = _NamedImport(state_dict)
+    for src, dst in _v4_top_map():
+        im.convbn(src, dst, in_channels if src == "features.0" else None)
+    head = "last_linear" if "last_linear.weight" in state_dict else "fc"
+    im.dense(head, ("fc",), num_classes)
+    return im.out()
+
+
+# ---------------------------------------------------------------------------
 # Generic order-based CNN importer (DenseNet / EfficientNet / Inception).
 #
 # Both torch's state_dict and a flax @nn.compact param tree preserve module
@@ -471,7 +714,25 @@ def import_for_model(name: str, state_dict: Mapping[str, Any],
     if name.startswith("vit"):
         return import_vit(state_dict, in_channels, num_classes,
                           target_tokens=target_tokens)
-    if name.startswith(("densenet", "efficientnet", "inception")):
+    # DenseNet/EfficientNet/Inception: name-based maps when the checkpoint
+    # carries genuine timm/torchvision naming (robust to registration-order
+    # differences); order-based alignment as the fallback for rewritten or
+    # exotic checkpoints.
+    if name.startswith("densenet"):
+        if "features.conv0.weight" in state_dict:
+            return import_densenet(state_dict, in_channels, num_classes)
+        return import_cnn_by_order(state_dict, variables, in_channels,
+                                   num_classes)
+    if name.startswith("efficientnet"):
+        if "conv_stem.weight" in state_dict:
+            return import_efficientnet(state_dict, in_channels, num_classes)
+        return import_cnn_by_order(state_dict, variables, in_channels,
+                                   num_classes)
+    if name.startswith("inception"):
+        if "Conv2d_1a_3x3.conv.weight" in state_dict:
+            return import_inception_v3(state_dict, in_channels, num_classes)
+        if "features.0.conv.weight" in state_dict:
+            return import_inception_v4(state_dict, in_channels, num_classes)
         return import_cnn_by_order(state_dict, variables, in_channels,
                                    num_classes)
     raise ValueError(f"no importer for model family '{name}'")
