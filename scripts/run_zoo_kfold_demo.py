@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""On-chip zoo-breadth k-fold demo (VERDICT r2 item #4).
+
+Runs ≥10 models (all 7 families) × 5 rotating folds on the HARDENED
+synthetic corpus (difficulty 0.65, label noise 0.05 — overlapping class
+statistics so accuracies land in the reference's 0.85-0.94 regime instead
+of saturating at 1.0) using the stacked-vmap k-fold trainer: one jitted
+program trains all 5 folds of a model simultaneously
+(reference sweep equivalent: src/experiment/all_models_full_kfold_experiment.py:16).
+
+Writes reports/demo_run/all_models_summary.json (reference
+all_models_summary shape) incrementally after every model, so a mid-run
+crash preserves progress.
+
+TPU budget (CLAUDE.md): ONE stacked jit program per model; each epoch is
+one dispatch well under a minute.
+
+Usage: python scripts/run_zoo_kfold_demo.py [--models ...] [--folds 5]
+           [--epochs 30] [--batch 64] [--out reports/demo_run]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+DEFAULT_MODELS = [
+    "resnet18", "resnet50", "densenet121", "efficientnet_b0",
+    "efficientnet_b2", "inception_v3", "vit_tiny", "vit_small",
+    "deit_tiny", "swin_tiny", "swin_small",
+]
+
+
+def rotating_folds(n: int, k: int, seed: int = 42):
+    """Reference rotation: test=fold i, val=fold (i+1)%k, train=rest
+    (reference: scripts/prepare_kfold_data.py:52-63)."""
+    order = np.random.RandomState(seed).permutation(n)
+    chunks = np.array_split(order, k)
+    folds = []
+    for i in range(k):
+        test = chunks[i]
+        val = chunks[(i + 1) % k]
+        train = np.concatenate([chunks[j] for j in range(k)
+                                if j not in (i, (i + 1) % k)])
+        folds.append((train, val, test))
+    return folds
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--models", nargs="*", default=DEFAULT_MODELS)
+    p.add_argument("--folds", type=int, default=5)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--patience", type=int, default=8)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--n-images", type=int, default=450)
+    p.add_argument("--size", type=int, default=512,
+                   help="source frame side (smoke runs shrink this)")
+    p.add_argument("--img-size", type=int, default=0,
+                   help="override model input size (0 = per-model default)")
+    p.add_argument("--difficulty", type=float, default=0.65)
+    p.add_argument("--label-noise", type=float, default=0.05)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--out", default="reports/demo_run")
+    args = p.parse_args()
+
+    import jax
+
+    from thyroid_tpu.data import DevicePipeline, generate_corpus_arrays
+    from thyroid_tpu.training.stacked import StackedKFoldTrainer
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out_path = out_dir / "all_models_summary.json"
+
+    imgs, labels = generate_corpus_arrays(
+        n_images=args.n_images, size=args.size, difficulty=args.difficulty,
+        label_noise=args.label_noise)
+    folds = rotating_folds(len(labels), args.folds)
+    platform = jax.devices()[0].platform
+    print(f"platform={platform} corpus={len(labels)}x{args.size}² "
+          f"difficulty={args.difficulty} noise={args.label_noise}",
+          flush=True)
+
+    summary = {"_meta": {
+        "platform": platform, "folds": args.folds, "epochs": args.epochs,
+        "batch": args.batch, "difficulty": args.difficulty,
+        "label_noise": args.label_noise, "corpus": args.n_images,
+        "corpus_provenance": "synthetic_hard",
+    }}
+
+    pipes_cache = {}
+
+    def pipes_for(img_size):
+        if img_size in pipes_cache:
+            return pipes_cache[img_size]
+        tr, va, te = [], [], []
+        for train_i, val_i, test_i in folds:
+            tr.append(DevicePipeline(
+                imgs[train_i], labels[train_i], batch_size=args.batch,
+                img_size=img_size, quality_preprocessing=True,
+                augmentation_level="medium", train=True))
+            va.append(DevicePipeline(
+                imgs[val_i], labels[val_i], batch_size=args.batch,
+                img_size=img_size, quality_preprocessing=True, train=False))
+            te.append(DevicePipeline(
+                imgs[test_i], labels[test_i], batch_size=args.batch,
+                img_size=img_size, quality_preprocessing=True, train=False))
+        pipes_cache[img_size] = (tr, va, te)
+        return pipes_cache[img_size]
+
+    for name in args.models:
+        img = args.img_size or (299 if name.startswith("inception") else 224)
+        mcfg = {"name": name, "img_size": img, "in_channels": 1,
+                "num_classes": 2}
+        tcfg = {"epochs": args.epochs, "batch_size": args.batch,
+                "optimizer_params": {"lr": args.lr, "weight_decay": 1e-5},
+                "scheduler_params": {"scheduler_type": "cosine",
+                                     "warmup_epochs": 2},
+                "monitor_metric": "val_acc", "monitor_mode": "max",
+                "early_stopping_patience": args.patience}
+        trainer_cfg = {"max_epochs": args.epochs,
+                       "enable_checkpointing": False,
+                       "deterministic": True, "precision": "bf16"}
+        t0 = time.time()
+        try:
+            tr, va, te = pipes_for(img)
+            st = StackedKFoldTrainer(
+                mcfg, tcfg, trainer_cfg, tr, va, test_pipelines=te,
+                output_dir=str(out_dir / "zoo" / name))
+            results = st.fit()
+            accs = [r.get("test_acc") for r in results
+                    if r.get("test_acc") is not None]
+            aucs = [r.get("test_auc") for r in results
+                    if r.get("test_auc") is not None]
+            epoch_times = [m["time_s"] for r in results
+                           for m in r["history"][1:]]  # drop compile epoch
+            n_train = sum(len(f[0]) for f in folds)
+            rec = {
+                "avg_accuracy": float(np.mean(accs)) if accs else None,
+                "std_accuracy": float(np.std(accs)) if accs else None,
+                "avg_test_auc": float(np.mean(aucs)) if aucs else None,
+                "num_successful_folds": len(accs),
+                "wall_minutes": round((time.time() - t0) / 60.0, 2),
+                "stacked_epoch_s": (round(float(np.median(epoch_times)), 3)
+                                    if epoch_times else None),
+                "train_img_per_s": (round(
+                    n_train / float(np.median(epoch_times)), 1)
+                    if epoch_times else None),
+                "epochs_trained": len(results[0]["history"]),
+                "per_fold": [
+                    {k: v for k, v in r.items() if k != "history"}
+                    for r in results],
+            }
+        except Exception as e:  # keep sweeping — reference does the same
+            rec = {"error": f"{type(e).__name__}: {e}",
+                   "wall_minutes": round((time.time() - t0) / 60.0, 2)}
+        summary[name] = rec
+        out_path.write_text(json.dumps(summary, indent=2, default=str))
+        acc = rec.get("avg_accuracy")
+        print(f"{name}: acc={acc if acc is None else round(acc, 4)} "
+              f"±{rec.get('std_accuracy')} wall={rec['wall_minutes']}min "
+              f"{rec.get('error', '')}", flush=True)
+
+    print(f"wrote {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

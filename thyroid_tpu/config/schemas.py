@@ -147,6 +147,8 @@ class DatasetConfig(BaseModel):
     artifact_percentile: float = 99.9
     synthetic: bool = False              # generate a deterministic synthetic corpus
     synthetic_size: int = 450
+    synthetic_difficulty: float = 0.0    # 0 = separable, ~0.65 ≈ 0.85-0.9 acc
+    synthetic_label_noise: float = 0.0   # P(image drawn from the other class)
 
     @field_validator("mean", "std", mode="before")
     @classmethod

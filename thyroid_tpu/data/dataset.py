@@ -80,8 +80,13 @@ class CARSThyroidDataset:
             from .synthetic import generate_corpus
 
             n = int(self._get("synthetic_size", 450))
-            logger.info("generating synthetic corpus (%d images) at %s", n, data_path)
-            generate_corpus(data_path, n_images=n)
+            diff = float(self._get("synthetic_difficulty", 0.0))
+            noise = float(self._get("synthetic_label_noise", 0.0))
+            logger.info("generating synthetic corpus (%d images, difficulty "
+                        "%.2f, label noise %.2f) at %s", n, diff, noise,
+                        data_path)
+            generate_corpus(data_path, n_images=n, difficulty=diff,
+                            label_noise=noise)
 
         self.all_paths, self.all_labels, self.patient_ids = scan_corpus(data_path)
         if len(self.all_paths) == 0:
