@@ -59,11 +59,29 @@ def main() -> None:
             t0 = time.perf_counter()
             engine.predict(raw)
             lat.append(time.perf_counter() - t0)
+        # same request with the frames ALREADY device-resident: removes the
+        # host→device upload (under axon: the tunnel RPC + ~50 MB/s frame
+        # transfer), isolating dispatch+compute — the client-observed p50
+        # minus this is the transfer share
+        import jax
+        import jax.numpy as jnp
+
+        raw_dev = jax.block_until_ready(jnp.asarray(raw))
+        fn = engine._fn(b)
+        np.asarray(fn(engine.variables, raw_dev))   # warm
+        lat_dev = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            np.asarray(fn(engine.variables, raw_dev))  # (b,2) value readback
+            lat_dev.append(time.perf_counter() - t0)
+        p50, p50_dev = pct(lat, 50), pct(lat_dev, 50)
         report["buckets"][b] = {
-            "p50_ms": round(pct(lat, 50) * 1e3, 2),
+            "p50_ms": round(p50 * 1e3, 2),
             "p90_ms": round(pct(lat, 90) * 1e3, 2),
             "p99_ms": round(pct(lat, 99) * 1e3, 2),
-            "img_per_s": round(b / pct(lat, 50), 1),
+            "img_per_s": round(b / p50, 1),
+            "device_resident_p50_ms": round(p50_dev * 1e3, 2),
+            "upload_share": round(max(0.0, 1.0 - p50_dev / p50), 3),
         }
 
     # concurrent single-image clients through the aggregator (largest bucket)

@@ -20,6 +20,8 @@ def main():
     p.add_argument("--dataset", default="synthetic")
     p.add_argument("--alpha", type=float, default=0.7)
     p.add_argument("--temperature", type=float, default=4.0)
+    p.add_argument("--img-size", type=int, default=0,
+                   help="override model/dataset image size (0 = defaults)")
     p.add_argument("--output-dir", default="outputs/distillation")
     args = p.parse_args()
 
@@ -30,11 +32,13 @@ def main():
     out = Path(args.output_dir)
 
     # 1. teacher k-fold (skipped for folds whose ckpt already exists)
+    size_ov = ([f"model.img_size={args.img_size}",
+                f"dataset.img_size={args.img_size}"] if args.img_size else [])
     teacher_cfg = compose(overrides=[
         f"model=cnn/{args.teacher}", f"dataset={args.dataset}",
         f"kfold.num_folds={args.folds}", f"trainer.max_epochs={args.epochs}",
         f"training.epochs={args.epochs}",
-    ])
+    ] + size_ov)
     teacher_cfg["output_dir"] = str(out / "teacher")
     teacher_exp = KFoldExperiment(teacher_cfg)
     teacher_exp.setup()
@@ -56,7 +60,7 @@ def main():
             f"model=vit/{args.student}", f"dataset={args.dataset}",
             "kfold.num_folds=1", f"trainer.max_epochs={args.epochs}",
             f"training.epochs={args.epochs}", "training=distillation",
-        ])
+        ] + size_ov)
         cfg["output_dir"] = str(out / f"student_fold_{fold}")
         cfg["distillation"] = {
             "enabled": True, "temperature": args.temperature,
@@ -68,8 +72,9 @@ def main():
         }
         exp = KFoldExperiment(cfg)
         exp.setup()
-        exp.kfold_config = {**exp.kfold_config,
-                            "split_dir": cfg.dataset.split_dir}
+        # fold split files live in the dataset's split_dir (the experiment
+        # resolves it that way now); the teacher phase above generated the
+        # full rotation there, so fold>1 resolves even with num_folds=1
         result = exp.run_fold(fold)
         result["teacher_checkpoint"] = fold_ckpts[fold]
         fold_results.append(result)

@@ -64,12 +64,22 @@ class KFoldExperiment(BaseExperiment):
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self._ensure_split_files()
 
+    def _split_dir(self) -> str:
+        """Fold split files live WITH the corpus: the dataset's split_dir
+        wins over the kfold group's generic default (both are data/splits
+        for the stock datasets, so this only matters for datasets that
+        declare their own split_dir — mixing corpora in one split dir would
+        let fold indices from one corpus silently select images of
+        another)."""
+        ds = cfg_get(self.dataset_config, "split_dir", None)
+        if ds:
+            return str(ds)
+        return str(cfg_get(self.kfold_config, "split_dir", "data/splits"))
+
     def _ensure_split_files(self) -> None:
         """Generate rotating fold files if absent (the reference assumes
         scripts/prepare_kfold_data.py ran; here it is automatic)."""
-        split_dir = Path(cfg_get(self.kfold_config, "split_dir",
-                                 cfg_get(self.dataset_config, "split_dir",
-                                         "data/splits")))
+        split_dir = Path(self._split_dir())
         prefix = cfg_get(self.kfold_config, "split_file_prefix", "split_fold_")
         missing = [n for n in range(1, self.num_folds + 1)
                    if not (split_dir / f"{prefix}{n}.json").exists()]
@@ -87,8 +97,7 @@ class KFoldExperiment(BaseExperiment):
         cfg = copy.deepcopy(self.dataset_config.to_dict()
                             if hasattr(self.dataset_config, "to_dict")
                             else dict(self.dataset_config))
-        split_dir = cfg_get(self.kfold_config, "split_dir",
-                            cfg.get("split_dir", "data/splits"))
+        split_dir = self._split_dir()
         prefix = cfg_get(self.kfold_config, "split_file_prefix", "split_fold_")
         cfg["split_file"] = str(Path(split_dir) / f"{prefix}{fold}.json")
         cfg["use_kfold"] = True
