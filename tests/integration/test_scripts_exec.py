@@ -113,11 +113,12 @@ def test_distillation(work):
           "--student", "deit_tiny", "--folds", "1", "--epochs", "1",
           "--dataset", "synthetic_tiny", "--img-size", "64",
           "--output-dir", str(out)], cwd=work, timeout=900)
-    summaries = sorted(out.rglob("*.json"))
-    assert summaries, f"no distillation summary under {out}"
-    blob = json.loads(summaries[-1].read_text())
-    txt = json.dumps(blob)
-    assert "teacher" in txt and ("accuracy" in txt or "test_acc" in txt), blob
+    summary = out / "distillation_results.json"
+    assert summary.exists(), f"no distillation summary under {out}"
+    blob = json.loads(summary.read_text())
+    assert blob["teacher"] == "resnet18" and blob["student"] == "deit_tiny"
+    assert blob["folds"] and "teacher_checkpoint" in blob["folds"][0]
+    assert blob["mean_test_acc"] is None or 0.0 <= blob["mean_test_acc"] <= 1.0
 
 
 def test_gradcam(work, trained):
