@@ -273,3 +273,37 @@ class TestPickBlockPadded:
         want = manual_layer_norm(x, g, b, jnp.float32) @ w + wb
         assert got.shape == (t, 288)
         assert np.abs(np.asarray(got) - np.asarray(want)).max() < 2e-5
+
+
+@pytest.mark.unit
+class TestPatchMergingFusion:
+    """PatchMerging's serving path fuses LN into the reduction matmul
+    (round 3); fused and unfused paths must agree bit-tightly and share
+    one param tree (checkpoint/importer compatibility)."""
+
+    def _apply(self, use_pallas, deterministic=True):
+        import jax
+
+        from thyroid_tpu.models.vit.swin import PatchMerging
+
+        x = jnp.asarray(
+            np.random.RandomState(5).randn(2, 64, 48).astype(np.float32))
+        m = PatchMerging((8, 8), 48, use_pallas=use_pallas)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        return m.apply(variables, x, deterministic), variables
+
+    def test_fused_matches_unfused(self):
+        got, v_fused = self._apply(use_pallas=True)
+        want, v_plain = self._apply(use_pallas=False)
+        assert np.abs(np.asarray(got) - np.asarray(want)).max() < 2e-5
+        # identical param trees (norm/{scale,bias}, reduction/kernel)
+        import jax
+
+        p1 = jax.tree_util.tree_structure(v_fused["params"])
+        p2 = jax.tree_util.tree_structure(v_plain["params"])
+        assert p1 == p2
+
+    def test_training_path_is_unfused(self):
+        got, _ = self._apply(use_pallas=True, deterministic=False)
+        want, _ = self._apply(use_pallas=False, deterministic=False)
+        assert np.abs(np.asarray(got) - np.asarray(want)).max() < 2e-5

@@ -404,10 +404,12 @@ class PatchMerging(nn.Module):
     input_resolution: Tuple[int, int]
     dim: int
     quality_aware: bool = False
+    use_pallas: bool | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
         h, w = self.input_resolution
         b, l, c = x.shape
         x = x.reshape(b, h, w, c)
@@ -425,9 +427,26 @@ class PatchMerging(nn.Module):
             comp = merged.reshape(b, -1, 4, c)
             comp = comp * (4.0 * qw[..., None])                  # keep scale
             merged = comp.reshape(b, -1, 4 * c)
-        merged = nn.LayerNorm(dtype=self.dtype, name="norm")(merged)
-        return nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
-                        kernel_init=trunc_normal_init, name="reduction")(merged)
+        # raw norm/reduction params (same tree as nn.LayerNorm + nn.Dense,
+        # so checkpoints and the timm importer are unaffected) — the serving
+        # path fuses LN into the reduction matmul's VMEM pass exactly like
+        # the block's LN+QKV (ops/token_fused.py), saving the 4C stream's
+        # extra HBM round-trip between norm and reduction
+        g_ln, b_ln = _LNParams(4 * c, name="norm")()
+        red_kernel, _ = _DenseParams(4 * c, 2 * c, False, name="reduction")()
+        use_kernel = self.use_pallas
+        if use_kernel is None:
+            from ...ops.tpu_platform import is_tpu
+
+            use_kernel = is_tpu()
+        if use_kernel and deterministic:
+            from ...ops.token_fused import fused_ln_matmul
+
+            return fused_ln_matmul(
+                merged.astype(self.dtype), g_ln, b_ln, red_kernel,
+                None).astype(self.dtype)
+        normed = manual_layer_norm(merged, g_ln, b_ln, self.dtype)
+        return normed @ red_kernel.astype(self.dtype)
 
 
 class SwinStage(nn.Module):
@@ -479,7 +498,9 @@ class SwinStage(nn.Module):
         if self.downsample:
             x = PatchMerging(self.input_resolution, self.dim,
                              quality_aware=self.quality_aware_merge,
-                             dtype=self.dtype, name="downsample")(x)
+                             use_pallas=self.use_pallas,
+                             dtype=self.dtype, name="downsample")(
+                                 x, deterministic)
         return x
 
 
