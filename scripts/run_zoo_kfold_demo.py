@@ -88,12 +88,20 @@ def main() -> None:
           f"difficulty={args.difficulty} noise={args.label_noise}",
           flush=True)
 
-    summary = {"_meta": {
+    # merge into an existing summary so a retry of one failed model (e.g.
+    # with a smaller batch) does not clobber the rest of the sweep
+    summary = {}
+    if out_path.exists():
+        try:
+            summary = json.loads(out_path.read_text())
+        except Exception:
+            summary = {}
+    summary["_meta"] = {
         "platform": platform, "folds": args.folds, "epochs": args.epochs,
         "batch": args.batch, "difficulty": args.difficulty,
         "label_noise": args.label_noise, "corpus": args.n_images,
         "corpus_provenance": "synthetic_hard",
-    }}
+    }
 
     pipes_cache = {}
 
