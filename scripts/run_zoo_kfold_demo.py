@@ -67,6 +67,13 @@ def main() -> None:
     p.add_argument("--difficulty", type=float, default=0.65)
     p.add_argument("--label-noise", type=float, default=0.05)
     p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--transformer-lr", type=float, default=1e-4,
+                   help="lr for vit/deit/swin (reference "
+                        "vit_optimizer_params.json uses 1e-4)")
+    p.add_argument("--transformer-patience", type=int, default=0,
+                   help="patience override for vit/deit/swin "
+                        "(0 = use --patience); they plateau near chance "
+                        "through warmup, so CNN-sized patience kills them")
     p.add_argument("--out", default="reports/demo_run")
     args = p.parse_args()
 
@@ -101,6 +108,8 @@ def main() -> None:
         "batch": args.batch, "difficulty": args.difficulty,
         "label_noise": args.label_noise, "corpus": args.n_images,
         "corpus_provenance": "synthetic_hard",
+        "note": "_meta reflects the LAST invocation; retried models merge "
+                "in — per-model 'hparams' is authoritative",
     }
 
     pipes_cache = {}
@@ -127,12 +136,22 @@ def main() -> None:
         img = args.img_size or (299 if name.startswith("inception") else 224)
         mcfg = {"name": name, "img_size": img, "in_channels": 1,
                 "num_classes": 2}
+        # transformers get the reference's ViT recipe (configs/training/
+        # vit.yaml ← reference configs/vit_optimizer_params.json): lower lr,
+        # label smoothing, layer-wise lr decay, longer warmup + patience.
+        is_tf = name.startswith(("vit", "deit", "swin"))
+        lr = args.transformer_lr if is_tf else args.lr
+        patience = ((args.transformer_patience or args.patience)
+                    if is_tf else args.patience)
         tcfg = {"epochs": args.epochs, "batch_size": args.batch,
-                "optimizer_params": {"lr": args.lr, "weight_decay": 1e-5},
+                "optimizer_params": {"lr": lr, "weight_decay": 1e-5},
                 "scheduler_params": {"scheduler_type": "cosine",
-                                     "warmup_epochs": 2},
+                                     "warmup_epochs": 5 if is_tf else 2},
                 "monitor_metric": "val_acc", "monitor_mode": "max",
-                "early_stopping_patience": args.patience}
+                "early_stopping_patience": patience}
+        if is_tf:
+            tcfg["label_smoothing"] = 0.1
+            tcfg["layer_decay"] = 0.9
         trainer_cfg = {"max_epochs": args.epochs,
                        "enable_checkpointing": False,
                        "deterministic": True, "precision": "bf16"}
@@ -162,6 +181,11 @@ def main() -> None:
                     n_train / float(np.median(epoch_times)), 1)
                     if epoch_times else None),
                 "epochs_trained": len(results[0]["history"]),
+                "hparams": {"batch": args.batch, "lr": lr,
+                            "patience": patience,
+                            "epochs_config": args.epochs,
+                            "label_smoothing": tcfg.get("label_smoothing", 0.0),
+                            "layer_decay": tcfg.get("layer_decay")},
                 "per_fold": [
                     {k: v for k, v in r.items() if k != "history"}
                     for r in results],
