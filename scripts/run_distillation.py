@@ -22,6 +22,10 @@ def main():
     p.add_argument("--temperature", type=float, default=4.0)
     p.add_argument("--img-size", type=int, default=0,
                    help="override model/dataset image size (0 = defaults)")
+    p.add_argument("--baseline", action="store_true",
+                   help="also train the student WITHOUT distillation on the "
+                        "same folds, so the summary shows the teacher's "
+                        "measurable benefit")
     p.add_argument("--output-dir", default="outputs/distillation")
     args = p.parse_args()
 
@@ -80,18 +84,49 @@ def main():
         fold_results.append(result)
         print(f"student fold {fold}: acc={result.get('test_acc')}", flush=True)
 
+    # 3. optional no-teacher baseline: same student, same folds, plain CE —
+    # the delta vs the distilled runs is the teacher's measurable benefit
+    baseline_results = []
+    if args.baseline:
+        for fold in range(1, args.folds + 1):
+            cfg = compose(overrides=[
+                f"model=vit/{args.student}", f"dataset={args.dataset}",
+                "kfold.num_folds=1", f"trainer.max_epochs={args.epochs}",
+                f"training.epochs={args.epochs}",
+            ] + size_ov)
+            cfg["output_dir"] = str(out / f"baseline_fold_{fold}")
+            exp = KFoldExperiment(cfg)
+            exp.setup()
+            result = exp.run_fold(fold)
+            baseline_results.append(result)
+            print(f"baseline fold {fold}: acc={result.get('test_acc')}",
+                  flush=True)
+
     import numpy as np
     accs = [r["test_acc"] for r in fold_results if "test_acc" in r]
+    base_accs = [r["test_acc"] for r in baseline_results if "test_acc" in r]
     summary = {
         "teacher": args.teacher, "student": args.student,
         "folds": fold_results,
         "mean_test_acc": float(np.mean(accs)) if accs else None,
         "std_test_acc": float(np.std(accs)) if accs else None,
     }
+    if baseline_results:
+        summary["baseline_folds"] = baseline_results
+        summary["baseline_mean_test_acc"] = (
+            float(np.mean(base_accs)) if base_accs else None)
+        summary["baseline_std_test_acc"] = (
+            float(np.std(base_accs)) if base_accs else None)
+        if accs and base_accs:
+            summary["distillation_gain"] = (
+                float(np.mean(accs)) - float(np.mean(base_accs)))
     out.mkdir(parents=True, exist_ok=True)
     (out / "distillation_results.json").write_text(
         json.dumps(summary, indent=2, default=str))
     print("mean/std test acc:", summary["mean_test_acc"], summary["std_test_acc"])
+    if "distillation_gain" in summary:
+        print("baseline mean acc:", summary["baseline_mean_test_acc"],
+              "distillation gain:", summary["distillation_gain"])
 
 
 if __name__ == "__main__":

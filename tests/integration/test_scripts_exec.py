@@ -111,7 +111,7 @@ def test_distillation(work):
     out = work / "distill"
     _run([str(SCRIPTS / "run_distillation.py"), "--teacher", "resnet18",
           "--student", "deit_tiny", "--folds", "1", "--epochs", "1",
-          "--dataset", "synthetic_tiny", "--img-size", "64",
+          "--dataset", "synthetic_tiny", "--img-size", "64", "--baseline",
           "--output-dir", str(out)], cwd=work, timeout=900)
     summary = out / "distillation_results.json"
     assert summary.exists(), f"no distillation summary under {out}"
@@ -119,6 +119,7 @@ def test_distillation(work):
     assert blob["teacher"] == "resnet18" and blob["student"] == "deit_tiny"
     assert blob["folds"] and "teacher_checkpoint" in blob["folds"][0]
     assert blob["mean_test_acc"] is None or 0.0 <= blob["mean_test_acc"] <= 1.0
+    assert blob["baseline_folds"] and "distillation_gain" in blob
 
 
 def test_gradcam(work, trained):
