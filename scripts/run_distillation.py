@@ -89,10 +89,13 @@ def main():
     baseline_results = []
     if args.baseline:
         for fold in range(1, args.folds + 1):
+            # training=vit, not the cnn default: the baseline must get the
+            # same-quality recipe (lr 1e-4, warmup, label smoothing) or the
+            # distillation gain is inflated by an unfair comparison
             cfg = compose(overrides=[
                 f"model=vit/{args.student}", f"dataset={args.dataset}",
                 "kfold.num_folds=1", f"trainer.max_epochs={args.epochs}",
-                f"training.epochs={args.epochs}",
+                f"training.epochs={args.epochs}", "training=vit",
             ] + size_ov)
             cfg["output_dir"] = str(out / f"baseline_fold_{fold}")
             exp = KFoldExperiment(cfg)
