@@ -41,8 +41,8 @@ def main():
 
     rows = []
     for name, rec in measured.items():
-        if not isinstance(rec, dict):
-            continue
+        if not isinstance(rec, dict) or name.startswith("_"):
+            continue  # "_meta" records run provenance, not a model
         acc = rec.get("avg_accuracy") if "avg_accuracy" in rec else rec.get("avg_test_acc")
         if acc is None:
             rows.append({"model": name, "status": "no result",
