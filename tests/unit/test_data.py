@@ -119,6 +119,30 @@ class TestDataset:
         assert len(ds) == 12
         assert ds.class_distribution() == {"normal": 6, "cancerous": 6}
 
+    def test_synthetic_param_change_regenerates(self, tmp_path):
+        """A config edit (difficulty) must regenerate the on-disk corpus —
+        the _meta.json stamp guards against silently reusing a stale one."""
+        import json
+
+        cfg = {"data_path": str(tmp_path / "synth"), "synthetic": True,
+               "synthetic_size": 8, "synthetic_difficulty": 0.0,
+               "split_dir": str(tmp_path / "splits"),
+               "val_split_ratio": 0.25, "test_split_ratio": 0.25,
+               "random_seed": 0}
+        CARSThyroidDataset(cfg, split="all")
+        img = tmp_path / "synth" / "normal" / "normal_0000.png"
+        before = img.read_bytes()
+        # same params: idempotent, no rewrite
+        m1 = img.stat().st_mtime_ns
+        CARSThyroidDataset(cfg, split="all")
+        assert img.stat().st_mtime_ns == m1
+        # changed difficulty: corpus wiped and regenerated
+        cfg["synthetic_difficulty"] = 0.9
+        CARSThyroidDataset(cfg, split="all")
+        meta = json.loads((tmp_path / "synth" / "_meta.json").read_text())
+        assert meta["difficulty"] == 0.9
+        assert img.read_bytes() != before
+
 
 @pytest.mark.unit
 class TestDevicePipeline:

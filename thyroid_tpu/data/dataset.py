@@ -76,15 +76,18 @@ class CARSThyroidDataset:
         self.transform = transform
 
         data_path = Path(self._get("data_path"))
-        if self._get("synthetic", False) and not (data_path / "normal").exists():
+        if self._get("synthetic", False):
             from .synthetic import generate_corpus
 
             n = int(self._get("synthetic_size", 450))
             diff = float(self._get("synthetic_difficulty", 0.0))
             noise = float(self._get("synthetic_label_noise", 0.0))
-            logger.info("generating synthetic corpus (%d images, difficulty "
-                        "%.2f, label noise %.2f) at %s", n, diff, noise,
-                        data_path)
+            if not (data_path / "normal").exists():
+                logger.info("generating synthetic corpus (%d images, "
+                            "difficulty %.2f, label noise %.2f) at %s",
+                            n, diff, noise, data_path)
+            # idempotent: stamps params in _meta.json and regenerates only
+            # when they changed, so config edits are never silently ignored
             generate_corpus(data_path, n_images=n, difficulty=diff,
                             label_noise=noise)
 

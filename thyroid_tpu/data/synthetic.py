@@ -101,10 +101,31 @@ def generate_corpus(
     label_noise: float = 0.0,
 ) -> Tuple[int, int]:
     """Write the corpus as 16-bit PNGs under out_dir/{normal,cancerous}.
-    Idempotent: skips files that already exist. Returns (n_normal, n_cancer)."""
+
+    Idempotent for matching parameters (skips files that already exist);
+    generation params are stamped in ``out_dir/_meta.json`` and a corpus
+    generated with DIFFERENT params is wiped and regenerated, so a config
+    change (e.g. ``synthetic_difficulty``) can never be silently ignored.
+    Returns (n_normal, n_cancer)."""
+    import json
+    import shutil
+
     import cv2
 
     out_dir = Path(out_dir)
+    params = {"n_images": n_images, "size": size, "seed": seed,
+              "difficulty": difficulty, "label_noise": label_noise}
+    meta_path = out_dir / "_meta.json"
+    if out_dir.exists():
+        stale = True
+        if meta_path.exists():
+            try:
+                stale = json.loads(meta_path.read_text()) != params
+            except (ValueError, OSError):
+                stale = True
+        if stale and any((out_dir / c).exists() for c in ("normal", "cancerous")):
+            for c in ("normal", "cancerous"):
+                shutil.rmtree(out_dir / c, ignore_errors=True)
     n_per_class = n_images // 2
     counts = []
     for class_idx, class_name in enumerate(("normal", "cancerous")):
@@ -119,6 +140,7 @@ def generate_corpus(
                                  class_idx, size, difficulty, label_noise)
             cv2.imwrite(str(path), img)
         counts.append(count)
+    meta_path.write_text(json.dumps(params))
     return counts[0], counts[1]
 
 
