@@ -48,7 +48,10 @@ def main():
             rows.append({"model": name, "status": "no result",
                          "error": rec.get("error")})
             continue
-        ref = REFERENCE_RESULTS.get(name)
+        # quick-test summaries key by config option path ("cnn/resnet18");
+        # the reference table keys by bare model name
+        ref = REFERENCE_RESULTS.get(name) \
+            or REFERENCE_RESULTS.get(name.rsplit("/", 1)[-1])
         ref_acc = ref[0] / 100.0 if ref else None
         row = {
             "model": name,

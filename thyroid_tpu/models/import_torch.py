@@ -275,6 +275,79 @@ def import_swin(state_dict: Mapping[str, Any], in_channels: int = 1,
 
 
 # ---------------------------------------------------------------------------
+# Swin, reference-NATIVE naming — checkpoints produced by the reference's own
+# from-scratch stack (src/models/vit/swin_transformer.py), which differs from
+# timm: bare-conv `patch_embed.{weight,bias}`, `patch_norm_layer`, Sequential
+# MLP `mlp.{0,3}`, and medical extras `attn.contrast_scale` /
+# `attn.quality_gate.*` / `downsample.quality_weight.*` / `uncertainty_head.*`
+# plus dead `cls_token`/`pos_embed` inherited from VisionTransformerBase
+# (never used by SwinTransformer.forward_features, :607-634).
+# ---------------------------------------------------------------------------
+
+def import_swin_reference(state_dict: Mapping[str, Any], in_channels: int = 1,
+                          num_classes: Optional[int] = 2) -> Dict[str, Any]:
+    """Reference-native Swin state_dict → flax params.
+
+    Normalises the reference's naming to timm-style and delegates to
+    `import_swin`, then transfers the medical extras that are ACTIVE in the
+    reference's runtime path:
+    - `attn.contrast_scale` (scales attention logits post-mask pre-softmax,
+      swin_transformer.py:168-169) → our WindowAttention `contrast_scale`
+      (only picked up by a model built with contrast_adaptive=True).
+    - `uncertainty_head.{0,3}` (Linear→ReLU→Dropout→Linear, :587-593) →
+      our `uncertainty_1`/`uncertainty_2`.
+    Dropped as dead in the reference forward: `cls_token`/`pos_embed` (base-
+    class leftovers), `attn.quality_gate.*` (gated on quality_scores that are
+    always None, :177-179), `downsample.quality_weight.*` (the defective
+    merge branch, :383-391), `patch_embed.quality_*`.
+    """
+    import re
+
+    timm_like: Dict[str, Any] = {}
+    contrast: Dict[Tuple[int, int], np.ndarray] = {}
+    unc: Dict[str, Any] = {}
+    for k, v in state_dict.items():
+        if k in ("cls_token", "pos_embed") or ".quality_gate." in k \
+                or ".quality_weight." in k or ".quality_score" in k:
+            continue
+        if k == "patch_embed.weight":
+            timm_like["patch_embed.proj.weight"] = v
+            continue
+        if k == "patch_embed.bias":
+            timm_like["patch_embed.proj.bias"] = v
+            continue
+        if k.startswith("patch_norm_layer."):
+            timm_like["patch_embed.norm." + k.split(".", 1)[1]] = v
+            continue
+        if k.startswith("uncertainty_head."):
+            unc[k] = v
+            continue
+        m = re.fullmatch(r"(layers\.\d+\.blocks\.\d+)\.mlp\.(\d+)\.(weight|bias)", k)
+        if m:
+            fc = {"0": "fc1", "3": "fc2"}[m.group(2)]
+            timm_like[f"{m.group(1)}.mlp.{fc}.{m.group(3)}"] = v
+            continue
+        m = re.fullmatch(r"layers\.(\d+)\.blocks\.(\d+)\.attn\.contrast_scale", k)
+        if m:
+            contrast[(int(m.group(1)), int(m.group(2)))] = _np(v)
+            continue
+        timm_like[k] = v
+
+    out = import_swin(timm_like, in_channels, num_classes)
+    params = out["params"]
+    for (i, j), cs in contrast.items():
+        _set(params, (f"stage_{i}", f"block_{j}", "attn", "contrast_scale"), cs)
+    if "uncertainty_head.0.weight" in unc:
+        _set(params, ("uncertainty_1", "kernel"),
+             linear_to_flax(unc["uncertainty_head.0.weight"]))
+        _set(params, ("uncertainty_1", "bias"), _np(unc["uncertainty_head.0.bias"]))
+        _set(params, ("uncertainty_2", "kernel"),
+             linear_to_flax(unc["uncertainty_head.3.weight"]))
+        _set(params, ("uncertainty_2", "bias"), _np(unc["uncertainty_head.3.bias"]))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Name-based importers for DenseNet / EfficientNet / Inception (timm /
 # torchvision key naming). Order-based matching (below) remains the fallback
 # for checkpoints with unrecognised naming, but against genuine timm
@@ -707,6 +780,11 @@ def import_for_model(name: str, state_dict: Mapping[str, Any],
     if name.startswith("resnet"):
         return import_resnet(state_dict, in_channels, num_classes)
     if name.startswith("swin"):
+        # the reference's own from-scratch checkpoints carry its native
+        # naming (bare-conv patch_embed, patch_norm_layer, Sequential mlp)
+        if "patch_norm_layer.weight" in state_dict \
+                or "patch_embed.weight" in state_dict:
+            return import_swin_reference(state_dict, in_channels, num_classes)
         return import_swin(state_dict, in_channels, num_classes)
     if name.startswith("deit"):
         return import_vit(state_dict, in_channels, num_classes,

@@ -19,6 +19,13 @@ Dtype = Any
 
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
 
+# torch nn.LayerNorm default (the reference stack never overrides it);
+# flax's 1e-6 default costs ~1e-3 logit drift over a 12-block ViT vs the
+# reference's own forward (tests/unit/test_reference_model_oracle.py).
+# The Pallas LN kernels (ops/token_fused.py, ops/attention.py) carry the
+# same value as their defaults.
+LN_EPS = 1e-5
+
 
 class LNParams(nn.Module):
     """LayerNorm parameters WITHOUT the computation — fused serving kernels
@@ -204,7 +211,7 @@ class PatchEmbed(nn.Module):
         if self.flatten:
             tokens = tokens.reshape(b, -1, self.embed_dim)       # (B, N, D)
         if self.norm:
-            tokens = nn.LayerNorm(dtype=self.dtype)(tokens)
+            tokens = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(tokens)
         return tokens
 
 
@@ -244,12 +251,12 @@ class Block(nn.Module):
 
             return fused_ln_mlp_residual(x, g2, b2, w1.astype(self.dtype),
                                          bb1, w2.astype(self.dtype), bb2)
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x)
         y = Attention(self.num_heads, self.qkv_bias, self.attn_drop_rate,
                       self.drop_rate, dtype=self.dtype)(
             y, deterministic=deterministic, capture=capture)
         x = x + DropPath(self.drop_path_rate)(y, deterministic=deterministic)
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x)
         y = Mlp(int(d * self.mlp_ratio), drop_rate=self.drop_rate,
                 dtype=self.dtype)(y, deterministic=deterministic)
         x = x + DropPath(self.drop_path_rate)(y, deterministic=deterministic)

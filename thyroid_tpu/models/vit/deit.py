@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..layers import (Block, PatchEmbed, token_kernels_default,
+from ..layers import (LN_EPS, Block, PatchEmbed, token_kernels_default,
                       trunc_normal_init)
 from ..registry import ModelRegistry, cfg_get, resolve_dtype
 
@@ -68,7 +68,7 @@ class DeiT(nn.Module):
                            token_kernels=self.token_kernels,
                            dtype=self.dtype, name=f"block_{i}")(
                 tokens, deterministic=det, capture=capture)
-        tokens = nn.LayerNorm(dtype=self.dtype, name="norm")(tokens)
+        tokens = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(tokens)
         if capture:
             self.sow("intermediates", "final_tokens", tokens)
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..layers import (DenseParams, DropPath, LNParams, MlpParams,
+from ..layers import (LN_EPS, DenseParams, DropPath, LNParams, MlpParams,
                       trunc_normal_init)
 from ..registry import ModelRegistry, cfg_get, resolve_dtype
 
@@ -93,7 +93,7 @@ _MlpParams = MlpParams
 
 
 def manual_layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
-                      dtype: Dtype, eps: float = 1e-6) -> jnp.ndarray:
+                      dtype: Dtype, eps: float = LN_EPS) -> jnp.ndarray:
     """flax nn.LayerNorm numerics (fast variance, f32 stats, same op order)
     computed from raw params — the XLA-side counterpart of the fused
     kernel's in-VMEM LN."""
@@ -543,7 +543,7 @@ class SwinTransformer(nn.Module):
                     name="patch_embed")(x)
         x = x.reshape(b, res * res, self.embed_dim)
         if self.patch_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="patch_norm")(x)
         if self.ape:
             pe = self.param("absolute_pos_embed", trunc_normal_init,
                             (1, res * res, self.embed_dim))
@@ -580,7 +580,7 @@ class SwinTransformer(nn.Module):
                 name=f"stage_{i}",
             )(x, deterministic=det, capture=capture)
 
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
         if capture:
             self.sow("intermediates", "final_tokens", x)
         feat = x.mean(axis=1)

@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..layers import (Block, PatchEmbed, sincos_pos_embed,
+from ..layers import (LN_EPS, Block, PatchEmbed, sincos_pos_embed,
                       token_kernels_default, trunc_normal_init)
 from ..registry import ModelRegistry, cfg_get, resolve_dtype
 
@@ -76,7 +76,7 @@ class VisionTransformer(nn.Module):
                            dtype=self.dtype, name=f"block_{i}")(
                 tokens, deterministic=det, capture=capture)
 
-        tokens = nn.LayerNorm(dtype=self.dtype, name="norm")(tokens)
+        tokens = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(tokens)
         if capture:
             # final token features for GradCAM (reference hooks model.norm —
             # scripts/generate_vit_gradcam.py:54-68)

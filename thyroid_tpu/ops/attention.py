@@ -515,7 +515,7 @@ def fused_swin_ln_attention(
     window_size: int,
     num_heads: int,
     scale: Optional[float] = None,
-    eps: float = 1e-6,
+    eps: float = 1e-5,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Serving fast path: x (B, H, W, C) RAW residual stream (already rolled

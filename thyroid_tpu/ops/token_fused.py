@@ -299,7 +299,7 @@ def fused_ln_matmul(
     w: jnp.ndarray,
     b: Optional[jnp.ndarray],
     *,
-    eps: float = 1e-6,
+    eps: float = 1e-5,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """x (..., C) → LN(x) @ w + b with LN fused into the matmul's VMEM pass.
@@ -630,7 +630,7 @@ def fused_ln_mlp_residual(
     w2: jnp.ndarray,
     b2: jnp.ndarray,
     *,
-    eps: float = 1e-6,
+    eps: float = 1e-5,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """x (..., C) → x + fc2(gelu(fc1(LN(x)))) in one kernel: the 4C-wide
@@ -650,7 +650,7 @@ def fused_ln_mlp(
     w2: jnp.ndarray,
     b2: jnp.ndarray,
     *,
-    eps: float = 1e-6,
+    eps: float = 1e-5,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Training variant WITHOUT the residual add: returns the MLP branch
