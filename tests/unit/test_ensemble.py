@@ -56,7 +56,9 @@ class TestCNNEnsemble:
         x = jnp.asarray(np.random.RandomState(1).rand(3, 32, 32, 1).astype(np.float32))
         mean, unc = ens.predict_with_uncertainty(x)
         member = np.asarray(ens.member_probs(x))
-        assert np.allclose(np.asarray(unc), member.std(axis=0), atol=1e-6)
+        # torch-parity: unbiased (ddof=1) std, like tensor.std(dim=0)
+        assert np.allclose(np.asarray(unc), member.std(axis=0, ddof=1),
+                           atol=1e-6)
 
     def test_registry_shell_and_restore(self, tmp_path):
         from thyroid_tpu.training import build_optimizer, create_train_state, save_checkpoint

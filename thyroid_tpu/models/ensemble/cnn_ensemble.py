@@ -67,11 +67,13 @@ class CNNEnsemble:
 
     def predict_with_uncertainty(self, x: jnp.ndarray):
         """(mean_probs, uncertainty) — uncertainty is the inter-model std of
-        probabilities (reference: cnn_ensemble.py:245-247)."""
+        probabilities (reference: cnn_ensemble.py:245-247). torch's .std is
+        the UNBIASED estimator (ddof=1), so ours matches; callers wanting the
+        reference's per-sample scalar take .mean(axis=-1)."""
         probs = self.member_probs(x)
         w = self.weights().reshape(-1, 1, 1)
         mean = (probs * w).sum(axis=0)
-        return mean, probs.std(axis=0)
+        return mean, probs.std(axis=0, ddof=1)
 
     def logits(self, x: jnp.ndarray) -> jnp.ndarray:
         """Log-prob combination usable as distillation-teacher logits."""

@@ -48,29 +48,33 @@ def build_schedule(
     )
 
 
-def _layer_index(path: tuple, num_layers: int) -> int:
-    """Depth bucket for layer-wise LR decay: embedding=0, block_i=i+1,
-    head/norm=num_layers+1."""
-    name = "/".join(str(p) for p in path)
-    if "patch_embed" in name or "pos_embed" in name or "cls_token" in name \
-            or "dist_token" in name or "absolute_pos_embed" in name:
-        return 0
-    m = re.search(r"block_(\d+)", name)
-    if m:
-        return int(m.group(1)) + 1
-    m = re.search(r"stage_(\d+)", name)
-    if m:
-        return int(m.group(1)) + 1
-    return num_layers + 1
-
-
 def layer_decay_mask(params: Any, decay: float, num_layers: int) -> Any:
-    """Per-leaf multiplicative LR scale: decay^(max_layer − layer)
-    (reference: lightning_modules.py:593-659)."""
-    max_layer = num_layers + 1
+    """Per-leaf multiplicative LR scale, the reference's exact recipe
+    (lightning_modules.py:628-659, oracled by
+    tests/unit/test_layer_decay_oracle.py):
+
+        embedding params (patch_embed / cls_token / pos_embed)  decay²
+        block i of L                                            decay^(L−1−i)
+        head                                                    1.0
+
+    so the LAST block and the head train at the base LR and block 0 at
+    decay^(L−1); the embedding's decay² (HIGHER than early blocks for
+    L > 3) is the reference's own quirk, kept as-is. One deliberate
+    deviation: the reference builds torch param_groups from ONLY those
+    three sets, silently freezing anything else (the final norm, DeiT's
+    dist_token/head_dist) — we give such leaves scale 1.0 instead so they
+    keep training (documented in docs/DESIGN.md)."""
 
     def scale(path, _):
-        return decay ** (max_layer - _layer_index(path, num_layers))
+        name = "/".join(str(p) for p in path)
+        if "patch_embed" in name or "pos_embed" in name \
+                or "cls_token" in name or "dist_token" in name \
+                or "absolute_pos_embed" in name:
+            return decay ** 2
+        m = re.search(r"block_(\d+)", name) or re.search(r"stage_(\d+)", name)
+        if m:
+            return decay ** max(num_layers - 1 - int(m.group(1)), 0)
+        return 1.0
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     return jax.tree_util.tree_unflatten(
