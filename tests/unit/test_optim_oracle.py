@@ -107,3 +107,38 @@ def test_no_decay_mask_is_the_only_1d_deviation():
     np.testing.assert_allclose(ours(0.0), torch_no_wd, atol=1e-7)
     # wd>0: ours is STILL the no-decay trajectory for 1D leaves
     np.testing.assert_allclose(ours(0.5), torch_no_wd, atol=1e-7)
+
+
+@pytest.mark.unit
+@pytest.mark.parametrize("smoothing", [0.0, 0.1])
+def test_cross_entropy_label_smoothing_matches_torch(smoothing):
+    """training/losses.cross_entropy vs torch nn.CrossEntropyLoss with the
+    reference's label_smoothing wiring (lightning_modules.py:345-350)."""
+    from thyroid_tpu.training.losses import cross_entropy
+
+    rs = np.random.RandomState(11)
+    logits = rs.randn(16, 2).astype(np.float32) * 3
+    labels = rs.randint(0, 2, size=(16,))
+    want = torch.nn.CrossEntropyLoss(label_smoothing=smoothing)(
+        torch.from_numpy(logits), torch.from_numpy(labels)).item()
+    got = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                              label_smoothing=smoothing))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.unit
+def test_deit_dual_head_rule_matches_reference():
+    """No-teacher DeiT training loss: 0.5·CE(cls)+0.5·CE(dist) on true
+    labels (lightning_modules.py:455-462)."""
+    from thyroid_tpu.training.losses import cross_entropy
+
+    rs = np.random.RandomState(12)
+    cls_l = rs.randn(8, 2).astype(np.float32)
+    dist_l = rs.randn(8, 2).astype(np.float32)
+    labels = rs.randint(0, 2, size=(8,))
+    ce = torch.nn.CrossEntropyLoss()
+    want = (0.5 * ce(torch.from_numpy(cls_l), torch.from_numpy(labels))
+            + 0.5 * ce(torch.from_numpy(dist_l), torch.from_numpy(labels))).item()
+    got = 0.5 * float(cross_entropy(jnp.asarray(cls_l), jnp.asarray(labels))) \
+        + 0.5 * float(cross_entropy(jnp.asarray(dist_l), jnp.asarray(labels)))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
