@@ -62,6 +62,9 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--dtype", default="bf16")
     p.add_argument("--quality", action="store_true")
+    p.add_argument("--aug", default=None,
+                   help="profile the augmentation ladder (light/medium/"
+                        "heavy/vit) instead of a model's serving loop")
     p.add_argument("--top", type=int, default=30)
     p.add_argument("--logdir", default="/tmp/thyroid_profile")
     args = p.parse_args()
@@ -74,31 +77,57 @@ def main() -> None:
     from thyroid_tpu.models.base import create_and_init
     from thyroid_tpu.ops.image import standardize
 
-    mcfg = {"name": args.model, "img_size": args.img_size, "in_channels": 1,
-            "num_classes": 2, "dtype": args.dtype}
-    if args.model.startswith("swin") and args.dtype == "bf16":
-        mcfg["params"] = {"attn_softmax_dtype": "bf16"}
-    model, variables = create_and_init(mcfg, jax.random.PRNGKey(0))
+    if args.aug:
+        # Augmentation-ladder mode: the scan body is one train_augment /
+        # vit_augment call on a [0,1] NHWC batch at --img-size (the shape
+        # the training engine feeds it). XLA op metadata carries the jax
+        # scope names, so the per-fusion table attributes time to ladder
+        # stages (elastic / rotation / microscopy / randaugment) directly.
+        from thyroid_tpu.ops.augment import train_augment, vit_augment
 
-    def one_step(variables, raw):
-        x = prepare_images(raw, args.img_size, quality=args.quality)
-        x = standardize(x, (0.5,), (0.5,))
-        out = model.apply(variables, x, train=False)
-        return out[0] if isinstance(out, tuple) else out
+        @jax.jit
+        def timed_chunk(variables, raw):
+            def body(carry, i):
+                key = jax.random.fold_in(jax.random.PRNGKey(0), i)
+                x = raw + carry
+                out = (vit_augment(x, key) if args.aug == "vit"
+                       else train_augment(x, key, args.aug))
+                return out.astype(jnp.float32).mean() * 1e-30, out.sum()
+            _, outs = jax.lax.scan(body, jnp.float32(0.0),
+                                   jnp.arange(args.iters))
+            return outs.sum()
 
-    @jax.jit
-    def timed_chunk(variables, raw):
-        def body(carry, _):
-            out = one_step(variables, raw + carry)
-            return out.astype(jnp.float32).sum() * 1e-30, out.sum()
-        _, outs = jax.lax.scan(body, jnp.float32(0.0), None,
-                               length=args.iters)
-        return outs.sum()
+        rs = np.random.RandomState(0)
+        raw = jax.device_put(jnp.asarray(
+            rs.rand(args.batch_size, args.img_size, args.img_size, 1)
+            .astype(np.float32)))
+        variables = None
+    else:
+        mcfg = {"name": args.model, "img_size": args.img_size,
+                "in_channels": 1, "num_classes": 2, "dtype": args.dtype}
+        if args.model.startswith("swin") and args.dtype == "bf16":
+            mcfg["params"] = {"attn_softmax_dtype": "bf16"}
+        model, variables = create_and_init(mcfg, jax.random.PRNGKey(0))
 
-    rs = np.random.RandomState(0)
-    raw = jax.device_put(jnp.asarray(
-        (rs.rand(args.batch_size, args.raw_size, args.raw_size, 1) * 65535)
-        .astype(np.float32)))
+        def one_step(variables, raw):
+            x = prepare_images(raw, args.img_size, quality=args.quality)
+            x = standardize(x, (0.5,), (0.5,))
+            out = model.apply(variables, x, train=False)
+            return out[0] if isinstance(out, tuple) else out
+
+        @jax.jit
+        def timed_chunk(variables, raw):
+            def body(carry, _):
+                out = one_step(variables, raw + carry)
+                return out.astype(jnp.float32).sum() * 1e-30, out.sum()
+            _, outs = jax.lax.scan(body, jnp.float32(0.0), None,
+                                   length=args.iters)
+            return outs.sum()
+
+        rs = np.random.RandomState(0)
+        raw = jax.device_put(jnp.asarray(
+            (rs.rand(args.batch_size, args.raw_size, args.raw_size, 1)
+             * 65535).astype(np.float32)))
 
     np.asarray(timed_chunk(variables, raw))  # compile + warm
     t0 = time.perf_counter()

@@ -61,6 +61,56 @@ class TestShiftPrimitive:
                     assert abs(got[b, i, j, 0] - want) < 1e-5
 
 
+class TestTreeDecomposition:
+    """The O(log S) bit-select tree must be bit-identical to the linear
+    taps path wherever it is eligible (shift constant along the axis)."""
+
+    def test_per_row_shifts_axis2(self):
+        x = batch(2, 16, 20)
+        sh = jnp.asarray(np.clip(RS.randn(2, 16, 1) * 3.0, -6, 6)
+                         .astype(np.float32))
+        tree = np.asarray(shift_axis_bilinear(x, sh, axis=2, max_shift=7,
+                                              method="tree"))
+        taps = np.asarray(shift_axis_bilinear(x, sh, axis=2, max_shift=7,
+                                              method="taps"))
+        np.testing.assert_array_equal(tree, taps)
+
+    def test_per_col_shifts_axis1(self):
+        x = batch(2, 20, 16)
+        sh = jnp.asarray(np.clip(RS.randn(2, 1, 16) * 3.0, -6, 6)
+                         .astype(np.float32))
+        tree = np.asarray(shift_axis_bilinear(x, sh, axis=1, max_shift=7,
+                                              method="tree"))
+        taps = np.asarray(shift_axis_bilinear(x, sh, axis=1, max_shift=7,
+                                              method="taps"))
+        np.testing.assert_array_equal(tree, taps)
+
+    def test_clip_boundary_and_fill(self):
+        x = batch(2, 12, 12)
+        sh = jnp.asarray([[[9.0]], [[-9.0]]], dtype=jnp.float32)  # > max
+        tree = np.asarray(shift_axis_bilinear(x, sh, axis=2, max_shift=4,
+                                              valid_fill=0.3, method="tree"))
+        taps = np.asarray(shift_axis_bilinear(x, sh, axis=2, max_shift=4,
+                                              valid_fill=0.3, method="taps"))
+        np.testing.assert_array_equal(tree, taps)
+
+    def test_power_of_two_range(self):
+        # 2S+1 taps with 2S exactly a power of two exercises the pad math
+        x = batch(1, 16, 16)
+        sh = jnp.full((1, 16, 1), 3.25)
+        tree = np.asarray(shift_axis_bilinear(x, sh, axis=2, max_shift=4,
+                                              method="tree"))
+        taps = np.asarray(shift_axis_bilinear(x, sh, axis=2, max_shift=4,
+                                              method="taps"))
+        np.testing.assert_array_equal(tree, taps)
+
+    def test_tree_rejects_per_pixel(self):
+        x = batch(1, 8, 8)
+        sh = jnp.zeros((1, 8, 8))
+        with pytest.raises(ValueError):
+            shift_axis_bilinear(x, sh, axis=2, max_shift=2, method="tree")
+
+
 class TestExactEquivalence:
     """Single-axis shear/translate: the fast path must match the affine
     gather path bit-for-bit (same separable bilinear, clamp and fill)."""

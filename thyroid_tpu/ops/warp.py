@@ -54,6 +54,7 @@ def shift_axis_bilinear(
     axis: int,
     max_shift: int,
     valid_fill: float | None = None,
+    method: str | None = None,
 ) -> jnp.ndarray:
     """out = x sampled at (coord + shifts) along `axis`, bilinear.
 
@@ -63,30 +64,71 @@ def shift_axis_bilinear(
     `valid_fill` is not None, samples whose true (unclipped) source
     coordinate falls outside [-0.5, size-0.5] get that fill value —
     together these reproduce the gather path's semantics exactly.
+
+    method: "tree" — O(log S) bit-select decomposition of the integer
+    shift: level k conditionally advances the working tensor by 2^k along
+    `axis` (a static slice) where bit k of (floor(shift)+S) is set. Only
+    valid when every element of a slice along `axis` shares one shift
+    (shears: per-row; translate: per-image) — composing per-ELEMENT bit
+    predicates across levels would read neighbours that already took a
+    different branch. "taps" — one masked select per integer shift in
+    [-S, S] (valid for per-pixel fields, e.g. elastic). None (default):
+    "tree" when the pre-broadcast `shifts` has extent 1 along `axis`,
+    else "taps". Both produce the same two taps and blend — bit-identical.
     """
     b, h, w, c = x.shape
     size = x.shape[axis]
     s = int(max_shift)
-    shifts = jnp.broadcast_to(shifts, (b, h, w))
-    sh = jnp.clip(shifts, -s, s)
-    k = jnp.floor(sh)
-    f = (sh - k)[..., None]
-    ki = k.astype(jnp.int32)
+    axis_constant = shifts.ndim == 3 and shifts.shape[axis] == 1
+    if method is None:
+        method = "tree" if axis_constant else "taps"
+    if method == "tree" and not axis_constant:
+        raise ValueError(
+            "method='tree' needs shifts constant along the shifted axis "
+            f"(pre-broadcast extent 1 at axis {axis}); got {shifts.shape}")
 
-    pad = [(0, 0)] * 4
-    pad[axis] = (s, s + 1)
-    xp = jnp.pad(x, pad, mode="edge")
+    if method == "tree":
+        sh = jnp.clip(shifts, -s, s)                     # (B,*,1*) kept small
+        k = jnp.floor(sh)
+        f = (sh - k)[..., None]
+        t = k.astype(jnp.int32) + s                      # in [0, 2S]
+        nbits = max(1, int(2 * s).bit_length())          # 2**nbits > 2S
+        pad = [(0, 0)] * 4
+        pad[axis] = (s, (1 << nbits) - s)
+        y = jnp.pad(x, pad, mode="edge")                 # len size + 2**nbits
+        for lvl in reversed(range(nbits)):
+            bmag = 1 << lvl
+            cur = y.shape[axis]
+            keep = jax.lax.slice_in_dim(y, 0, cur - bmag, axis=axis)
+            stepped = jax.lax.slice_in_dim(y, bmag, cur, axis=axis)
+            pred = (((t >> lvl) & 1) == 1)[..., None]
+            y = jnp.where(pred, stepped, keep)
+        # remaining length = size + 2**nbits - (2**nbits - 1) = size + 1:
+        # exactly the floor tap and its +1 neighbour for the blend
+        out = jax.lax.slice_in_dim(y, 0, size, axis=axis)
+        nxt = jax.lax.slice_in_dim(y, 1, size + 1, axis=axis)
+        res = out * (1 - f) + nxt * f
+    else:
+        bshifts = jnp.broadcast_to(shifts, (b, h, w))
+        sh = jnp.clip(bshifts, -s, s)
+        k = jnp.floor(sh)
+        f = (sh - k)[..., None]
+        ki = k.astype(jnp.int32)
 
-    out = jnp.zeros_like(x)
-    nxt = jnp.zeros_like(x)
-    for kk in range(-s, s + 1):
-        sel = (ki == kk)[..., None]
-        sl = jax.lax.slice_in_dim(xp, kk + s, kk + s + size, axis=axis)
-        sl1 = jax.lax.slice_in_dim(xp, kk + s + 1, kk + s + 1 + size,
-                                   axis=axis)
-        out = jnp.where(sel, sl, out)
-        nxt = jnp.where(sel, sl1, nxt)
-    res = out * (1 - f) + nxt * f
+        pad = [(0, 0)] * 4
+        pad[axis] = (s, s + 1)
+        xp = jnp.pad(x, pad, mode="edge")
+
+        out = jnp.zeros_like(x)
+        nxt = jnp.zeros_like(x)
+        for kk in range(-s, s + 1):
+            sel = (ki == kk)[..., None]
+            sl = jax.lax.slice_in_dim(xp, kk + s, kk + s + size, axis=axis)
+            sl1 = jax.lax.slice_in_dim(xp, kk + s + 1, kk + s + 1 + size,
+                                       axis=axis)
+            out = jnp.where(sel, sl, out)
+            nxt = jnp.where(sel, sl1, nxt)
+        res = out * (1 - f) + nxt * f
     if valid_fill is not None:
         coord = jnp.arange(size, dtype=jnp.float32)
         coord = coord.reshape((1, size, 1) if axis == 1 else (1, 1, size))
