@@ -74,6 +74,25 @@ def main() -> None:
                    help="patience override for vit/deit/swin "
                         "(0 = use --patience); they plateau near chance "
                         "through warmup, so CNN-sized patience kills them")
+    # --- the reference's actual ViT recipe (VERDICT r3 item #1) ---
+    # RandAugment(2, 9) + patch-quality augment (reference:
+    # src/data/vit_transforms.py:330-392) and in-step MixUp a=0.8 p=0.5 /
+    # CutMix a=1.0 (reference: configs/training/deit_pretrained.yaml:65-77).
+    p.add_argument("--vit-recipe", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="train vit/deit/swin with the ViT pipeline "
+                        "(RandAugment + patch-quality + mixup/cutmix) "
+                        "instead of the CNN 'medium' ladder")
+    p.add_argument("--vit-epochs", type=int, default=0,
+                   help="epoch budget for transformers (0 = --epochs); "
+                        "from-scratch ViTs need a longer schedule")
+    p.add_argument("--mixup-alpha", type=float, default=0.8)
+    p.add_argument("--cutmix-alpha", type=float, default=1.0)
+    p.add_argument("--mixup-prob", type=float, default=0.5)
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="EMA decay for transformer eval weights "
+                        "(0 = off; short demo schedules have too few steps "
+                        "for the usual 0.999)")
     p.add_argument("--out", default="reports/demo_run")
     args = p.parse_args()
 
@@ -112,25 +131,38 @@ def main() -> None:
                 "in — per-model 'hparams' is authoritative",
     }
 
-    pipes_cache = {}
+    train_cache, eval_cache = {}, {}
 
-    def pipes_for(img_size):
-        if img_size in pipes_cache:
-            return pipes_cache[img_size]
-        tr, va, te = [], [], []
-        for train_i, val_i, test_i in folds:
-            tr.append(DevicePipeline(
-                imgs[train_i], labels[train_i], batch_size=args.batch,
-                img_size=img_size, quality_preprocessing=True,
-                augmentation_level="medium", train=True))
-            va.append(DevicePipeline(
-                imgs[val_i], labels[val_i], batch_size=args.batch,
-                img_size=img_size, quality_preprocessing=True, train=False))
-            te.append(DevicePipeline(
-                imgs[test_i], labels[test_i], batch_size=args.batch,
-                img_size=img_size, quality_preprocessing=True, train=False))
-        pipes_cache[img_size] = (tr, va, te)
-        return pipes_cache[img_size]
+    def pipes_for(img_size, mode):
+        """Train pipelines keyed by (size, aug mode); val/test augment-free
+        so they are shared across modes at the same size."""
+        if (img_size, mode) not in train_cache:
+            kw = (dict(augment_mode="vit",
+                       vit_aug_params={"use_randaugment": True,
+                                       "use_patch_quality": True,
+                                       "randaugment_n": 2,
+                                       "randaugment_m": 9.0},
+                       augmentation_level="medium")
+                  if mode == "vit" else
+                  dict(augmentation_level="medium"))
+            train_cache[(img_size, mode)] = [
+                DevicePipeline(
+                    imgs[ti], labels[ti], batch_size=args.batch,
+                    img_size=img_size, quality_preprocessing=True,
+                    train=True, **kw)
+                for ti, _, _ in folds]
+        if img_size not in eval_cache:
+            eval_cache[img_size] = (
+                [DevicePipeline(
+                    imgs[vi], labels[vi], batch_size=args.batch,
+                    img_size=img_size, quality_preprocessing=True,
+                    train=False) for _, vi, _ in folds],
+                [DevicePipeline(
+                    imgs[te], labels[te], batch_size=args.batch,
+                    img_size=img_size, quality_preprocessing=True,
+                    train=False) for _, _, te in folds])
+        va, te = eval_cache[img_size]
+        return train_cache[(img_size, mode)], va, te
 
     for name in args.models:
         img = args.img_size or (299 if name.startswith("inception") else 224)
@@ -140,10 +172,12 @@ def main() -> None:
         # vit.yaml ← reference configs/vit_optimizer_params.json): lower lr,
         # label smoothing, layer-wise lr decay, longer warmup + patience.
         is_tf = name.startswith(("vit", "deit", "swin"))
+        use_vit_recipe = is_tf and args.vit_recipe
         lr = args.transformer_lr if is_tf else args.lr
         patience = ((args.transformer_patience or args.patience)
                     if is_tf else args.patience)
-        tcfg = {"epochs": args.epochs, "batch_size": args.batch,
+        epochs = (args.vit_epochs or args.epochs) if is_tf else args.epochs
+        tcfg = {"epochs": epochs, "batch_size": args.batch,
                 "optimizer_params": {"lr": lr, "weight_decay": 1e-5},
                 "scheduler_params": {"scheduler_type": "cosine",
                                      "warmup_epochs": 5 if is_tf else 2},
@@ -152,12 +186,18 @@ def main() -> None:
         if is_tf:
             tcfg["label_smoothing"] = 0.1
             tcfg["layer_decay"] = 0.9
-        trainer_cfg = {"max_epochs": args.epochs,
+        if use_vit_recipe:
+            tcfg["mixup_alpha"] = args.mixup_alpha
+            tcfg["cutmix_alpha"] = args.cutmix_alpha
+            tcfg["mixup_prob"] = args.mixup_prob
+            if args.ema_decay:
+                tcfg["ema_decay"] = args.ema_decay
+        trainer_cfg = {"max_epochs": epochs,
                        "enable_checkpointing": False,
                        "deterministic": True, "precision": "bf16"}
         t0 = time.time()
         try:
-            tr, va, te = pipes_for(img)
+            tr, va, te = pipes_for(img, "vit" if use_vit_recipe else "std")
             st = StackedKFoldTrainer(
                 mcfg, tcfg, trainer_cfg, tr, va, test_pipelines=te,
                 output_dir=str(out_dir / "zoo" / name))
@@ -183,9 +223,15 @@ def main() -> None:
                 "epochs_trained": len(results[0]["history"]),
                 "hparams": {"batch": args.batch, "lr": lr,
                             "patience": patience,
-                            "epochs_config": args.epochs,
+                            "epochs_config": epochs,
                             "label_smoothing": tcfg.get("label_smoothing", 0.0),
-                            "layer_decay": tcfg.get("layer_decay")},
+                            "layer_decay": tcfg.get("layer_decay"),
+                            "augment": "vit_recipe" if use_vit_recipe
+                                       else "medium_ladder",
+                            "mixup_alpha": tcfg.get("mixup_alpha", 0.0),
+                            "cutmix_alpha": tcfg.get("cutmix_alpha", 0.0),
+                            "mixup_prob": tcfg.get("mixup_prob"),
+                            "ema_decay": tcfg.get("ema_decay")},
                 "per_fold": [
                     {k: v for k, v in r.items() if k != "history"}
                     for r in results],

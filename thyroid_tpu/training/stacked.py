@@ -226,8 +226,13 @@ class StackedKFoldTrainer:
         if self._eval_fn is None or self._eval_pipe is not pipe0:
             self._eval_fn = self._make_eval_fn(pipe0.steps_per_epoch(), pipe0)
             self._eval_pipe = pipe0
-        # stacked variables: the fold axis simply rides the param leaves
-        variables = {"params": self.states.params}
+        # stacked variables: the fold axis simply rides the param leaves.
+        # With EMA on, evaluate the shadow weights — mirrors
+        # Trainer.evaluate(use_ema=True) semantics for the stacked path.
+        params = self.states.params
+        if getattr(self.states, "ema_params", None) is not None:
+            params = self.states.ema_params
+        variables = {"params": params}
         if self.states.batch_stats is not None:
             variables["batch_stats"] = self.states.batch_stats
         mstates = self._zero_mstates(aux=False)
