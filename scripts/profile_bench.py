@@ -63,6 +63,7 @@ def main() -> None:
     p.add_argument("--dtype", default="bf16")
     p.add_argument("--quality", action="store_true")
     p.add_argument("--aug", default=None,
+                   choices=["light", "medium", "heavy", "vit"],
                    help="profile the augmentation ladder (light/medium/"
                         "heavy/vit) instead of a model's serving loop")
     p.add_argument("--top", type=int, default=30)

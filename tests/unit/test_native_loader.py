@@ -27,6 +27,22 @@ class TestNativeLoader:
         py = np.stack([decode_image(p) for p in paths])[..., None]
         assert np.array_equal(native, py)
 
+    def test_rgb_png_matches_python_decode(self, tmp_path):
+        """RGB PNG: native BT.601 gray == the cv2-based Python chain
+        (decode_image does cvtColor at 8-bit then *257)."""
+        if load_native() is None:
+            pytest.skip("no native toolchain")
+        import cv2
+
+        rs = np.random.RandomState(7)
+        arr = rs.randint(0, 255, (12, 9, 3), np.uint8)  # RGB
+        f = tmp_path / "rgb.png"
+        cv2.imwrite(str(f), arr[..., ::-1])  # imwrite wants BGR
+        native = decode_batch_native([f])
+        assert native is not None
+        py = decode_image(f)
+        assert np.array_equal(native[0, ..., 0], py)
+
     def test_unsupported_format_falls_back(self, tmp_path):
         f = tmp_path / "x.jpg"
         f.write_bytes(b"\xff\xd8\xff")
@@ -159,12 +175,25 @@ class TestNativeTiff:
         got = self._decode(tmp_path, arr)
         assert np.array_equal(got, arr.astype(np.uint16) * 257)
 
-    def test_rgb_collapses_to_channel_mean(self, tmp_path):
+    def test_rgb_collapses_to_bt601_luminance(self, tmp_path):
+        """RGB → cv2's exact fixed-point BT.601 gray, then the 8→16 upscale
+        (cvtColor-before-*257 order of dataset.py decode_image)."""
+        import cv2
+
         rs = np.random.RandomState(3)
-        arr = rs.randint(0, 255, (8, 8, 3), np.uint8)
+        arr = rs.randint(0, 255, (8, 8, 3), np.uint8)  # RGB order on disk
         got = self._decode(tmp_path, arr)
-        want = (arr.astype(np.uint32) * 257).sum(-1) // 3
-        assert np.array_equal(got, want.astype(np.uint16))
+        want = cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY).astype(np.uint16) * 257
+        assert np.array_equal(got, want)
+
+    def test_rgb16_collapses_to_bt601_luminance(self, tmp_path):
+        import cv2
+
+        rs = np.random.RandomState(5)
+        arr = rs.randint(0, 65535, (8, 8, 3), np.uint16)
+        got = self._decode(tmp_path, arr, name="rgb16.tif")
+        want = cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY)
+        assert np.array_equal(got, want)
 
     def test_compressed_falls_back_to_python(self, tmp_path):
         if load_native() is None:

@@ -9,10 +9,12 @@
 // Supported: PNG (8/16-bit, gray/RGB/RGBA via libpng, 16-bit network byte
 // order handled), classic TIFF (uncompressed strips, II/MM, 8/16-bit,
 // 1 or 3 samples — the corpus's primary format), and PGM P5 (8/16-bit).
-// 8-bit values are upscaled ×257 to the uint16 scale (reference:
-// dataset.py:525-529); RGB collapses to luminance-free channel mean
-// (matching cv2 grayscale conversion closely enough for microscopy
-// captures, which are single-channel at source).
+// RGB collapses to BT.601 luminance with cv2's exact fixed-point
+// coefficients (R*19596 + G*38470 + B*7470 + 2^15) >> 16 — the same rounding
+// cv2.cvtColor(RGB2GRAY) applies — at native bit depth; 8-bit values are
+// then upscaled ×257 to the uint16 scale (reference: dataset.py:525-529),
+// matching the Python chain's cvtColor-before-upscale order bit-for-bit.
+// The corpus itself is single-channel at source.
 //
 // C ABI (ctypes):
 //   int decode_image_u16(const char* path, uint16_t* out, int out_h, int out_w);
@@ -46,6 +48,16 @@ struct Image {
 bool has_suffix(const std::string& s, const std::string& suf) {
   return s.size() >= suf.size() &&
          s.compare(s.size() - suf.size(), suf.size(), suf) == 0;
+}
+
+// cv2 5.x's fixed-point BT.601 luminance: coefficients round(w * 2^16)
+// normalized to sum exactly 2^16 (19596 + 38470 + 7470), round-half-up.
+// Verified bit-exact against cv2.cvtColor(RGB2GRAY) for full random 8U and
+// 16U planes (tests/unit/test_native_loader.py).
+inline uint16_t bt601_gray(uint32_t r, uint32_t g, uint32_t b) {
+  return static_cast<uint16_t>(
+      (static_cast<uint64_t>(r) * 19596u + static_cast<uint64_t>(g) * 38470u +
+       static_cast<uint64_t>(b) * 7470u + (1u << 15)) >> 16);
 }
 
 int decode_png(const char* path, Image* img) {
@@ -94,18 +106,23 @@ int decode_png(const char* path, Image* img) {
   const int c = img->channels;
   for (int y = 0; y < img->h; ++y) {
     for (int x = 0; x < img->w; ++x) {
-      uint32_t acc = 0;
-      for (int ch = 0; ch < c; ++ch) {
+      // Gray-convert at NATIVE depth, then upscale 8→16 — mirrors the
+      // Python chain (dataset.py decode_image: cvtColor before *257), whose
+      // rounding differs from weighting pre-scaled values.
+      uint32_t px[4] = {0, 0, 0, 0};
+      for (int ch = 0; ch < c && ch < 4; ++ch) {
         if (img->bit_depth == 16) {
-          const uint16_t* px =
+          const uint16_t* rp =
               reinterpret_cast<const uint16_t*>(raw.data() + y * rowbytes);
-          acc += px[x * c + ch];
+          px[ch] = rp[x * c + ch];
         } else {
-          acc += static_cast<uint16_t>(raw[y * rowbytes + x * c + ch]) * 257;
+          px[ch] = raw[y * rowbytes + x * c + ch];
         }
       }
+      uint32_t v = (c >= 3) ? bt601_gray(px[0], px[1], px[2]) : px[0];
+      if (img->bit_depth != 16) v *= 257;
       img->data[static_cast<size_t>(y) * img->w + x] =
-          static_cast<uint16_t>(acc / c);
+          static_cast<uint16_t>(v);
     }
   }
   return 0;
@@ -279,18 +296,21 @@ int decode_tiff(const char* path, Image* img) {
   for (uint32_t y = 0; y < height; ++y) {
     const uint8_t* rp = raw.data() + static_cast<size_t>(y) * row_bytes;
     for (uint32_t x = 0; x < width; ++x) {
-      uint32_t acc = 0;
-      for (uint32_t ch = 0; ch < spp; ++ch) {
+      // Same ordering rule as decode_png: gray at native depth, then *257.
+      uint32_t px[3] = {0, 0, 0};
+      for (uint32_t ch = 0; ch < spp && ch < 3; ++ch) {
         if (depth == 16) {
           size_t o = (static_cast<size_t>(x) * spp + ch) * 2;
-          acc += r.big_endian ? (uint16_t)((rp[o] << 8) | rp[o + 1])
-                              : (uint16_t)((rp[o + 1] << 8) | rp[o]);
+          px[ch] = r.big_endian ? (uint16_t)((rp[o] << 8) | rp[o + 1])
+                                : (uint16_t)((rp[o + 1] << 8) | rp[o]);
         } else {
-          acc += static_cast<uint16_t>(rp[x * spp + ch]) * 257;
+          px[ch] = rp[x * spp + ch];
         }
       }
+      uint32_t v = (spp == 3) ? bt601_gray(px[0], px[1], px[2]) : px[0];
+      if (depth != 16) v *= 257;
       img->data[static_cast<size_t>(y) * width + x] =
-          static_cast<uint16_t>(acc / spp);
+          static_cast<uint16_t>(v);
     }
   }
   return 0;
