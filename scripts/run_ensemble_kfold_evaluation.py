@@ -1,13 +1,47 @@
 #!/usr/bin/env python
 """K-fold weighted-probability ensemble evaluation (reference:
 scripts/run_ensemble_kfold_evaluation.py — default weights 0.50/0.25/0.25
-:164, sklearn-style sens/spec/ppv/npv :108-124)."""
+:164, sklearn-style sens/spec/ppv/npv :108-124).
+
+Two checkpoint/data sources:
+- default: the sequential-training layout
+  {root}/{model}/fold_{f}/checkpoints/{model}-best.ckpt + split files from
+  the dataset config (real-corpus path);
+- --demo-corpus: checkpoints exported by
+  `scripts/run_zoo_kfold_demo.py --export-checkpoints`; the synthetic_hard
+  corpus and the rotating folds are REBUILT from the checkpoint metadata
+  (difficulty/label_noise/n_images/folds/fold_seed recorded at export), so
+  eval runs on exactly the per-fold test splits the members never saw.
+"""
 import argparse
 import json
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _demo_fold_pipelines(meta: dict, folds: int, batch: int, img_size: int):
+    """Rebuild the zoo demo's corpus + rotating test splits from exported
+    checkpoint metadata (scripts/run_zoo_kfold_demo.py rotating_folds)."""
+    import numpy as np
+
+    from thyroid_tpu.data import DevicePipeline, generate_corpus_arrays
+
+    imgs, labels = generate_corpus_arrays(
+        n_images=int(meta["n_images"]), size=int(meta.get("size", 512)),
+        difficulty=float(meta["difficulty"]),
+        label_noise=float(meta["label_noise"]))
+    order = np.random.RandomState(int(meta.get("fold_seed", 42))) \
+        .permutation(len(labels))
+    chunks = np.array_split(order, folds)
+    pipelines = {}
+    for i in range(folds):
+        te = chunks[i]
+        pipelines[i + 1] = DevicePipeline(
+            imgs[te], labels[te], batch_size=batch, img_size=img_size,
+            quality_preprocessing=True, train=False)
+    return pipelines
 
 
 def main():
@@ -19,33 +53,62 @@ def main():
     p.add_argument("--checkpoint-root", default="outputs")
     p.add_argument("--folds", type=int, default=7)
     p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--demo-corpus", action="store_true",
+                   help="evaluate on the zoo demo's synthetic_hard corpus, "
+                        "rebuilt from exported checkpoint metadata")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--output", default="outputs/ensemble_kfold_results.json")
     args = p.parse_args()
 
     from thyroid_tpu.analysis.evaluation import evaluate_ensemble_kfold
-    from thyroid_tpu.config import compose
-    from thyroid_tpu.data.pipeline import create_data_loaders
 
-    cfg = compose(overrides=[f"dataset={args.dataset}"])
-    dataset_cfg = cfg.dataset.to_dict()
-    fold_pipelines = {}
-    member_specs = []
     root = Path(args.checkpoint_root)
+    member_specs = []
     for name in args.members:
         ckpts = {}
+        model_cfg = {"name": name}
         for fold in range(1, args.folds + 1):
             best = root / name / f"fold_{fold}" / "checkpoints" / f"{name}-best.ckpt"
             if not best.exists():
                 raise SystemExit(f"missing checkpoint {best} — train {name} first")
             ckpts[fold] = str(best)
-        member_specs.append({"model": {"name": name}, "checkpoints": ckpts})
-    for fold in range(1, args.folds + 1):
-        dcfg = dict(dataset_cfg)
-        dcfg["split_file"] = str(Path(dcfg["split_dir"]) / f"split_fold_{fold}.json")
-        fold_pipelines[fold] = create_data_loaders(dcfg, splits=("test",))["test"]
+            meta_path = best / "metadata.json"
+            if fold == 1 and meta_path.exists():
+                stored = json.loads(meta_path.read_text()).get("model_config")
+                if stored:
+                    model_cfg = stored
+        member_specs.append({"model": model_cfg, "checkpoints": ckpts})
+
+    if args.demo_corpus:
+        first_meta = json.loads(
+            (Path(member_specs[0]["checkpoints"][1]) / "metadata.json")
+            .read_text())
+        fold_pipelines = _demo_fold_pipelines(
+            first_meta, args.folds, args.batch, args.img_size)
+    else:
+        from thyroid_tpu.config import compose
+        from thyroid_tpu.data.pipeline import create_data_loaders
+
+        cfg = compose(overrides=[f"dataset={args.dataset}"])
+        dataset_cfg = cfg.dataset.to_dict()
+        fold_pipelines = {}
+        for fold in range(1, args.folds + 1):
+            dcfg = dict(dataset_cfg)
+            dcfg["split_file"] = str(
+                Path(dcfg["split_dir"]) / f"split_fold_{fold}.json")
+            fold_pipelines[fold] = create_data_loaders(
+                dcfg, splits=("test",))["test"]
+
     summary = evaluate_ensemble_kfold(member_specs, fold_pipelines,
-                                      weights=args.weights, output_path=args.output)
-    print(json.dumps({k: v for k, v in summary.items() if k != "folds"}, indent=2))
+                                      weights=args.weights,
+                                      output_path=args.output)
+    slim = {k: v for k, v in summary.items() if k not in ("folds",)}
+    slim["modes"] = {m: {k: v for k, v in d.items() if k != "folds"}
+                     for m, d in summary["modes"].items()}
+    slim["members"] = {m: {k: v for k, v in d.items() if k != "folds"}
+                       for m, d in summary["members"].items()}
+    print(json.dumps(slim, indent=2))
 
 
 if __name__ == "__main__":

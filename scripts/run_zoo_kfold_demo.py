@@ -93,6 +93,11 @@ def main() -> None:
                    help="EMA decay for transformer eval weights "
                         "(0 = off; short demo schedules have too few steps "
                         "for the usual 0.999)")
+    p.add_argument("--export-checkpoints", action="store_true",
+                   help="export per-fold best checkpoints to "
+                        "{out}/zoo_ckpts/{model}/fold_{f}/checkpoints/ "
+                        "(the sequential layout the ensemble k-fold eval "
+                        "and confusion/ROC scripts consume)")
     p.add_argument("--out", default="reports/demo_run")
     args = p.parse_args()
 
@@ -202,6 +207,16 @@ def main() -> None:
                 mcfg, tcfg, trainer_cfg, tr, va, test_pipelines=te,
                 output_dir=str(out_dir / "zoo" / name))
             results = st.fit()
+            if args.export_checkpoints:
+                st.export_fold_checkpoints(
+                    out_dir / "zoo_ckpts", name, mcfg,
+                    extra_metadata={"corpus": "synthetic_hard",
+                                    "difficulty": args.difficulty,
+                                    "label_noise": args.label_noise,
+                                    "n_images": args.n_images,
+                                    "size": args.size,
+                                    "folds": args.folds,
+                                    "fold_seed": 42})
             accs = [r.get("test_acc") for r in results
                     if r.get("test_acc") is not None]
             aucs = [r.get("test_auc") for r in results

@@ -96,6 +96,55 @@ class TestStackedKFold:
 
 
 @pytest.mark.integration
+class TestStackedExport:
+    def test_export_and_ensemble_eval(self, tmp_path):
+        """export_fold_checkpoints writes the sequential layout and the
+        multi-mode ensemble k-fold eval consumes it (VERDICT r3 item #3
+        plumbing: weighted/simple/voting reported from one member pass)."""
+        from thyroid_tpu.analysis.evaluation import evaluate_ensemble_kfold
+        from thyroid_tpu.training.checkpoint import load_checkpoint
+
+        folds = []
+        for f in range(2):
+            imgs, labels = _fold_data(f + 1)
+            folds.append({
+                "train": _pipes(imgs[:16], labels[:16], True),
+                "val": _pipes(imgs[16:], labels[16:], False),
+            })
+        st = StackedKFoldTrainer(
+            MCFG, TCFG, TRAINER_CFG,
+            [fd["train"] for fd in folds], [fd["val"] for fd in folds],
+            output_dir=str(tmp_path / "out"))
+        st.fit()
+        paths = st.export_fold_checkpoints(tmp_path / "ckpts", "resnet18",
+                                           MCFG, extra_metadata={"folds": 2})
+        assert [p.name for p in paths] == ["resnet18-best.ckpt"] * 2
+        for f, p in enumerate(paths, start=1):
+            assert p == (tmp_path / "ckpts" / "resnet18" / f"fold_{f}"
+                         / "checkpoints" / "resnet18-best.ckpt")
+            variables, meta = load_checkpoint(p)
+            assert "params" in variables and meta["fold"] == f
+            assert meta["model_config"]["name"] == "resnet18"
+
+        member = {"model": MCFG,
+                  "checkpoints": {f: str(p)
+                                  for f, p in enumerate(paths, start=1)}}
+        pipes = {f + 1: folds[f]["val"] for f in range(2)}
+        summary = evaluate_ensemble_kfold(
+            [member], pipes, weights=[1.0],
+            output_path=tmp_path / "ens.json")
+        assert set(summary["modes"]) == {"weighted_average", "simple_average",
+                                         "weighted_voting"}
+        assert 0.0 <= summary["mean_accuracy"] <= 1.0
+        # single member: weighted and simple averaging are identical
+        assert summary["modes"]["weighted_average"]["mean_accuracy"] == \
+            pytest.approx(summary["modes"]["simple_average"]["mean_accuracy"])
+        assert summary["members"]["resnet18"]["mean_accuracy"] == \
+            pytest.approx(summary["mean_accuracy"])
+        assert (tmp_path / "ens.json").exists()
+
+
+@pytest.mark.integration
 class TestStackedExperiment:
     def test_kfold_stacked_end_to_end(self, tmp_path):
         from tests.unit.test_experiment import _exp_config

@@ -46,11 +46,25 @@ def predict_probs(model: Any, variables: dict, pipeline,
     return p[keep], l[keep], w[keep]
 
 
+# jit cache keyed by model object — holds a strong ref so id() stays unique.
+# One compiled program per (model, image shape); folds of the same member
+# reuse it (critical under axon where every new program is a 1-5 min remote
+# compile, CLAUDE.md).
+_APPLY_CACHE: Dict[int, Tuple[Any, Any]] = {}
+
+
 def _apply_probs(model, variables, images) -> jnp.ndarray:
-    out = model.apply(variables, images, train=False)
-    if isinstance(out, tuple):
-        out = out[0]
-    return jax.nn.softmax(out.astype(jnp.float32), axis=-1)
+    cached = _APPLY_CACHE.get(id(model))
+    if cached is None or cached[0] is not model:
+        def fn(variables, images):
+            out = model.apply(variables, images, train=False)
+            if isinstance(out, tuple):
+                out = out[0]
+            return jax.nn.softmax(out.astype(jnp.float32), axis=-1)
+
+        cached = (model, jax.jit(fn))
+        _APPLY_CACHE[id(model)] = cached
+    return cached[1](variables, images)
 
 
 def binary_report(probs: np.ndarray, labels: np.ndarray) -> Dict[str, float]:
@@ -123,28 +137,64 @@ def evaluate_ensemble_kfold(
     weights 0.50/0.25/0.25 at :164).
 
     member_specs: [{"model": cfg, "checkpoints": {fold: path}}, ...]
+
+    Reports all three of the reference ensemble's combination modes
+    (src/models/ensemble/cnn_ensemble.py:140-175) from ONE forward pass per
+    member: weighted probability averaging (primary, the 92.65% headline
+    mode), simple averaging, and weighted voting (ours returns normalized
+    vote MASS — same argmax as the reference's one-hot, see the deviation
+    table in docs/DESIGN.md). Per-member fold reports come along for free so
+    the ensemble-beats-best-member effect is checkable in the artifact.
     """
     if weights is None:
         weights = [0.5, 0.25, 0.25][: len(member_specs)]
     w = np.asarray(weights, dtype=np.float64)
     w = w / w.sum()
     fold_reports: Dict[str, Any] = {}
+    mode_fold_reports: Dict[str, Dict[str, Any]] = {
+        "weighted_average": {}, "simple_average": {}, "weighted_voting": {}}
+    member_fold_reports: Dict[str, Dict[str, Any]] = {}
+    # one module per member, shared across folds — folds then reuse the
+    # member's compiled forward program instead of re-tracing per fold
+    member_models = [ModelRegistry.create_model(s["model"])
+                     for s in member_specs]
     for fold, pipeline in fold_pipelines.items():
-        probs_sum, labels = None, None
-        for spec, wi in zip(member_specs, w):
-            model = ModelRegistry.create_model(spec["model"])
+        member_probs, labels = [], None
+        for spec, model in zip(member_specs, member_models):
             variables, _ = load_checkpoint(spec["checkpoints"][fold])
             probs, labels, _ = predict_probs(model, variables, pipeline)
-            probs_sum = probs * wi if probs_sum is None else probs_sum + probs * wi
-        fold_reports[f"fold_{fold}"] = binary_report(probs_sum, labels)
-    accs = [r["accuracy"] for r in fold_reports.values()]
-    aucs = [r["auc"] for r in fold_reports.values() if np.isfinite(r["auc"])]
+            member_probs.append(probs)
+            name = cfg_get(spec["model"], "name", str(len(member_probs)))
+            member_fold_reports.setdefault(name, {})[f"fold_{fold}"] = \
+                binary_report(probs, labels)
+        mp = np.stack(member_probs)                       # (M, N, 2)
+        wc = w.reshape(-1, 1, 1)
+        votes = np.eye(mp.shape[-1])[mp.argmax(-1)]       # (M, N, 2) one-hot
+        combined = {
+            "weighted_average": (mp * wc).sum(0),
+            "simple_average": mp.mean(0),
+            "weighted_voting": (votes * wc).sum(0),
+        }
+        for mode, cp in combined.items():
+            mode_fold_reports[mode][f"fold_{fold}"] = binary_report(cp, labels)
+        fold_reports[f"fold_{fold}"] = \
+            mode_fold_reports["weighted_average"][f"fold_{fold}"]
+
+    def _agg(reports: Dict[str, Any]) -> Dict[str, Any]:
+        accs = [r["accuracy"] for r in reports.values()]
+        aucs = [r["auc"] for r in reports.values() if np.isfinite(r["auc"])]
+        return {"mean_accuracy": float(np.mean(accs)),
+                "std_accuracy": float(np.std(accs)),
+                "mean_auc": float(np.mean(aucs)) if aucs else None}
+
     summary = {
         "weights": w.tolist(),
         "folds": fold_reports,
-        "mean_accuracy": float(np.mean(accs)),
-        "std_accuracy": float(np.std(accs)),
-        "mean_auc": float(np.mean(aucs)) if aucs else None,
+        **_agg(fold_reports),
+        "modes": {mode: {**_agg(reports), "folds": reports}
+                  for mode, reports in mode_fold_reports.items()},
+        "members": {name: {**_agg(reports), "folds": reports}
+                    for name, reports in member_fold_reports.items()},
     }
     if output_path:
         Path(output_path).parent.mkdir(parents=True, exist_ok=True)

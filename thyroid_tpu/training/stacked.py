@@ -244,6 +244,50 @@ class StackedKFoldTrainer:
     _eval_pipe = None
 
     # ------------------------------------------------------------------
+    def export_fold_checkpoints(
+        self,
+        root: str | Path,
+        model_name: str,
+        model_config: Any = None,
+        extra_metadata: Optional[Dict[str, Any]] = None,
+    ) -> List[Path]:
+        """Slice the stacked (post-`fit` best) states into per-fold
+        checkpoints in the sequential layout
+        `{root}/{name}/fold_{f}/checkpoints/{name}-best.ckpt` — the layout
+        `scripts/run_ensemble_kfold_evaluation.py` and the confusion/ROC
+        generator consume (reference trains folds sequentially and gets this
+        for free from BestCheckpointCallback; the stacked path exports it)."""
+        from types import SimpleNamespace
+
+        from .checkpoint import save_checkpoint
+
+        root = Path(root)
+        states_host = jax.device_get(self.states)
+        paths = []
+        for f in range(self.k):
+            st = _index_pytree(states_host, f)
+            params = st.params
+            # EMA shadow weights are what eval_epoch scored — export those
+            if getattr(st, "ema_params", None) is not None:
+                params = st.ema_params
+            state = SimpleNamespace(params=params,
+                                    batch_stats=st.batch_stats,
+                                    step=int(np.asarray(st.step)))
+            meta = {"model_name": model_name, "fold": f + 1,
+                    "stacked_export": True}
+            if model_config is not None:
+                meta["model_config"] = (model_config if isinstance(
+                    model_config, dict) else dict(model_config))
+            if extra_metadata:
+                meta.update(extra_metadata)
+            path = (root / model_name / f"fold_{f + 1}" / "checkpoints"
+                    / f"{model_name}-best.ckpt")
+            path.parent.mkdir(parents=True, exist_ok=True)
+            save_checkpoint(path, state, metadata=meta)
+            paths.append(path)
+        return paths
+
+    # ------------------------------------------------------------------
     def fit(self) -> List[Dict[str, Any]]:
         """Run the stacked sweep; returns one result dict per fold with
         final val_* metrics, test_* metrics (best-epoch states), history."""
