@@ -52,6 +52,43 @@ def rotating_folds(n: int, k: int, seed: int = 42):
     return folds
 
 
+def _run_sequential(name, mcfg, tcfg, trainer_cfg, tr, va, te, out_dir,
+                    corpus_meta):
+    """Per-fold Trainer loop for models too large to fold-stack (one
+    program compile, reused across folds — same shapes). Tests the best
+    checkpoint per fold, mirroring the stacked path's snapshot-and-restore
+    semantics; checkpoints land in the fold layout the ensemble/ROC
+    scripts consume."""
+    from thyroid_tpu.models import ModelRegistry
+    from thyroid_tpu.training import Trainer
+
+    results = []
+    for f in range(len(tr)):
+        fold_dir = out_dir / "zoo_ckpts" / name / f"fold_{f + 1}"
+        trainer = Trainer(
+            ModelRegistry.create_model(mcfg), mcfg, tcfg,
+            {**trainer_cfg, "enable_checkpointing": True, "save_top_k": 1},
+            steps_per_epoch=tr[f].steps_per_epoch(),
+            output_dir=str(fold_dir))
+        res = trainer.fit(tr[f], va[f],
+                          extra_ckpt_metadata={**corpus_meta, "fold": f + 1})
+        test_m = trainer.test(te[f], checkpoint=res.best_checkpoint)
+        monitor = tcfg.get("monitor_metric", "val_acc")
+        best_row = max(
+            (h for h in res.history if monitor in h),
+            key=lambda h: h[monitor], default=res.history[-1])
+        row = {k: v for k, v in best_row.items() if k.startswith("val_")}
+        row.update(test_m)
+        row["best_val_metric"] = res.best_metric
+        row["epochs_trained"] = len(res.history)
+        row["stacked"] = False
+        row["history"] = res.history
+        results.append(row)
+        print(f"  {name} fold {f + 1}: test_acc={test_m.get('test_acc')}",
+              flush=True)
+    return results
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--models", nargs="*", default=DEFAULT_MODELS)
@@ -93,6 +130,14 @@ def main() -> None:
                    help="EMA decay for transformer eval weights "
                         "(0 = off; short demo schedules have too few steps "
                         "for the usual 0.999)")
+    p.add_argument("--sequential", action="store_true",
+                   help="train folds one at a time with the plain Trainer "
+                        "instead of the stacked-vmap program — for models "
+                        "whose 5-fold stacked state exceeds HBM "
+                        "(swin_large: 197M params x 5 folds x 4 state "
+                        "copies ~ 16 GB). Checkpoints always export in "
+                        "this mode (the BestCheckpointManager writes the "
+                        "fold layout natively).")
     p.add_argument("--export-checkpoints", action="store_true",
                    help="export per-fold best checkpoints to "
                         "{out}/zoo_ckpts/{model}/fold_{f}/checkpoints/ "
@@ -170,7 +215,8 @@ def main() -> None:
         return train_cache[(img_size, mode)], va, te
 
     for name in args.models:
-        img = args.img_size or (299 if name.startswith("inception") else 224)
+        img = args.img_size or (299 if name.startswith("inception")
+                                else 256 if name == "swin_medical" else 224)
         mcfg = {"name": name, "img_size": img, "in_channels": 1,
                 "num_classes": 2}
         # transformers get the reference's ViT recipe (configs/training/
@@ -200,23 +246,28 @@ def main() -> None:
         trainer_cfg = {"max_epochs": epochs,
                        "enable_checkpointing": False,
                        "deterministic": True, "precision": "bf16"}
+        corpus_meta = {"corpus": "synthetic_hard",
+                       "difficulty": args.difficulty,
+                       "label_noise": args.label_noise,
+                       "n_images": args.n_images,
+                       "size": args.size,
+                       "folds": args.folds,
+                       "fold_seed": 42}
         t0 = time.time()
         try:
             tr, va, te = pipes_for(img, "vit" if use_vit_recipe else "std")
-            st = StackedKFoldTrainer(
-                mcfg, tcfg, trainer_cfg, tr, va, test_pipelines=te,
-                output_dir=str(out_dir / "zoo" / name))
-            results = st.fit()
-            if args.export_checkpoints:
-                st.export_fold_checkpoints(
-                    out_dir / "zoo_ckpts", name, mcfg,
-                    extra_metadata={"corpus": "synthetic_hard",
-                                    "difficulty": args.difficulty,
-                                    "label_noise": args.label_noise,
-                                    "n_images": args.n_images,
-                                    "size": args.size,
-                                    "folds": args.folds,
-                                    "fold_seed": 42})
+            if args.sequential:
+                results = _run_sequential(name, mcfg, tcfg, trainer_cfg,
+                                          tr, va, te, out_dir, corpus_meta)
+            else:
+                st = StackedKFoldTrainer(
+                    mcfg, tcfg, trainer_cfg, tr, va, test_pipelines=te,
+                    output_dir=str(out_dir / "zoo" / name))
+                results = st.fit()
+                if args.export_checkpoints:
+                    st.export_fold_checkpoints(
+                        out_dir / "zoo_ckpts", name, mcfg,
+                        extra_metadata=corpus_meta)
             accs = [r.get("test_acc") for r in results
                     if r.get("test_acc") is not None]
             aucs = [r.get("test_auc") for r in results

@@ -69,6 +69,43 @@ class TestStackedKFold:
                                                      abs=5e-2)
             assert last["val_acc"] == pytest.approx(seq["val_acc"], abs=0.13)
 
+    def test_reset_reuses_compiled_programs(self):
+        """reset() swaps same-shape corpora without retracing the stacked
+        train/eval programs (the axon-recompile saver for difficulty
+        sweeps) and re-initialises fold states."""
+        folds = self._folds()
+        st = StackedKFoldTrainer(
+            MCFG, TCFG, TRAINER_CFG,
+            [fd["train"] for fd in folds], [fd["val"] for fd in folds],
+            output_dir="/tmp/stacked_reset")
+        first = st.fit()
+        train_fn, eval_fns = st._train_fn, dict(st._eval_fns)
+        assert train_fn is not None and eval_fns
+
+        folds2 = []
+        for f in range(2):
+            imgs, labels = _fold_data(f + 7)
+            folds2.append({
+                "train": _pipes(imgs[:16], labels[:16], True),
+                "val": _pipes(imgs[16:], labels[16:], False),
+            })
+        st.reset([fd["train"] for fd in folds2],
+                 [fd["val"] for fd in folds2])
+        second = st.fit()
+        assert st._train_fn is train_fn          # no retrace
+        assert all(st._eval_fns[k] is v for k, v in eval_fns.items())
+        assert len(second) == 2
+        assert np.isfinite(second[0]["history"][-1]["train_loss"])
+        # fresh states: epoch-0 loss of run 2 in the same ballpark as run
+        # 1's epoch 0 (i.e. not continuing from run 1's trained state)
+        l1 = first[0]["history"][0]["train_loss"]
+        l2 = second[0]["history"][0]["train_loss"]
+        assert abs(l1 - l2) < 0.5 * max(l1, l2) + 0.5
+
+        bad = _pipes(*_fold_data(3)[:2], True)   # 24 imgs, not 16
+        with pytest.raises(StackedShapeError):
+            st.reset([bad, bad], [fd["val"] for fd in folds2])
+
     def test_unequal_fold_shapes_raise(self):
         folds = self._folds()
         imgs, labels = _fold_data(9)

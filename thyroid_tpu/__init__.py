@@ -31,3 +31,29 @@ if _os.environ.get("THYROID_PLATFORM"):
     import jax as _jax
 
     _jax.config.update("jax_platforms", _os.environ["THYROID_PLATFORM"])
+
+# Persistent compilation cache: identical programs skip recompilation
+# ACROSS processes. On the axon TPU every new jit program costs 1-5 min
+# through the remote compile helper (CLAUDE.md), and the sweep scripts
+# deliberately run models in fresh processes (RESOURCE_EXHAUSTED retry
+# discipline) — without this cache each retry repays every compile.
+# TPU-only: XLA:CPU AOT reload warns about machine-feature mismatches
+# (potential SIGILL), and CPU compiles are cheap anyway.
+# Opt out with THYROID_NO_COMPILE_CACHE=1.
+if not _os.environ.get("THYROID_NO_COMPILE_CACHE") and \
+        _os.environ.get("THYROID_PLATFORM", "tpu") != "cpu" and \
+        _os.environ.get("JAX_PLATFORMS", "tpu") != "cpu":
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "THYROID_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "thyroid_jax"))
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        # cache every program that took >1s to compile (default threshold
+        # only caches "large" ones); axon's floor is minutes, CPU test
+        # programs also benefit
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - config names vary across jax
+        pass

@@ -130,6 +130,7 @@ class StackedKFoldTrainer:
         self.val_labels = put(jnp.stack([p.labels for p in val_pipelines]))
         self._train_fn = None
         self._eval_fn = None
+        self._eval_fns = {}
 
     # ------------------------------------------------------------------
     def _make_train_fn(self, n_steps: int):
@@ -223,9 +224,15 @@ class StackedKFoldTrainer:
 
     def eval_epoch(self, caches, labels, pipe0,
                    prefix: str = "val_") -> List[Dict[str, float]]:
-        if self._eval_fn is None or self._eval_pipe is not pipe0:
+        # cache compiled eval programs by data geometry, not pipeline object
+        # identity — val and test often share shapes (rotating folds with
+        # k | corpus), and reset() swaps same-shape corpora; both reuse the
+        # compiled program (compiles cost 1-5 min under axon)
+        key = (pipe0.steps_per_epoch(), pipe0.batch_size, pipe0.n)
+        self._eval_fn = self._eval_fns.get(key)
+        if self._eval_fn is None:
             self._eval_fn = self._make_eval_fn(pipe0.steps_per_epoch(), pipe0)
-            self._eval_pipe = pipe0
+            self._eval_fns[key] = self._eval_fn
         # stacked variables: the fold axis simply rides the param leaves.
         # With EMA on, evaluate the shadow weights — mirrors
         # Trainer.evaluate(use_ema=True) semantics for the stacked path.
@@ -241,7 +248,35 @@ class StackedKFoldTrainer:
         return self._finalize_per_fold(mstates, scores, lbls, wts,
                                        prefix=prefix)
 
-    _eval_pipe = None
+    _eval_fns: Dict[Any, Any]
+
+    # ------------------------------------------------------------------
+    def reset(self, train_pipelines: List[Any], val_pipelines: List[Any],
+              test_pipelines: Optional[List[Any]] = None) -> None:
+        """Swap in new SAME-SHAPE fold data and re-initialise fold states
+        from the original init — the already-compiled train/eval programs
+        are reused (data enters them as arguments). For sweeps that retrain
+        the same model on several corpora (e.g. the pretraining-gap
+        difficulty ablation) without paying the 1-5 min axon recompile per
+        corpus. Pipelines must share batch/img/aug geometry with the
+        originals; shape mismatches raise StackedShapeError."""
+        want = (self.train_pipelines[0].cache.shape,
+                self.train_pipelines[0].labels.shape)
+        got = (train_pipelines[0].cache.shape, train_pipelines[0].labels.shape)
+        if want != got or len(train_pipelines) != self.k:
+            raise StackedShapeError(
+                f"reset needs identical fold geometry: had {want} x{self.k}, "
+                f"got {got} x{len(train_pipelines)}")
+        self.train_pipelines = train_pipelines
+        self.val_pipelines = val_pipelines
+        self.test_pipelines = test_pipelines
+        put = (lambda t: jax.device_put(t, self._sharding)) \
+            if self._sharding is not None else jax.device_put
+        self.states = put(_broadcast_state(self.trainer.state, self.k))
+        self.train_caches = put(jnp.stack([p.cache for p in train_pipelines]))
+        self.train_labels = put(jnp.stack([p.labels for p in train_pipelines]))
+        self.val_caches = put(jnp.stack([p.cache for p in val_pipelines]))
+        self.val_labels = put(jnp.stack([p.labels for p in val_pipelines]))
 
     # ------------------------------------------------------------------
     def export_fold_checkpoints(
@@ -344,7 +379,6 @@ class StackedKFoldTrainer:
             if self._sharding is not None:
                 tc = jax.device_put(tc, self._sharding)
                 tl = jax.device_put(tl, self._sharding)
-            self._eval_fn = None   # test shapes may differ from val
             test_metrics = self.eval_epoch(tc, tl, self.test_pipelines[0],
                                            "test_")
         for f in range(self.k):
