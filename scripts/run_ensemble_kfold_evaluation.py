@@ -59,6 +59,12 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--output", default="outputs/ensemble_kfold_results.json")
+    p.add_argument("--summary-row", default=None,
+                   help="also merge a 'cnn_ensemble' row (weighted-average "
+                        "mode) into this all_models_summary.json, so the "
+                        "ensemble appears beside the trained zoo models "
+                        "(reference covers every config YAML in its sweep — "
+                        "src/experiment/all_models_full_kfold_experiment.py:16)")
     args = p.parse_args()
 
     from thyroid_tpu.analysis.evaluation import evaluate_ensemble_kfold
@@ -109,6 +115,32 @@ def main():
     slim["members"] = {m: {k: v for k, v in d.items() if k != "folds"}
                        for m, d in summary["members"].items()}
     print(json.dumps(slim, indent=2))
+
+    if args.summary_row:
+        import numpy as np
+
+        path = Path(args.summary_row)
+        zoo = json.loads(path.read_text()) if path.exists() else {}
+        accs = [f["accuracy"] for f in summary["folds"].values()]
+        aucs = [f["auc"] for f in summary["folds"].values()]
+        zoo["cnn_ensemble"] = {
+            "avg_accuracy": float(np.mean(accs)),
+            "std_accuracy": float(np.std(accs)),
+            "avg_test_auc": float(np.mean(aucs)),
+            "num_successful_folds": len(accs),
+            "hparams": {
+                "members": args.members, "weights": args.weights,
+                "mode": "weighted_average",
+                "provenance": "ensemble k-fold evaluation of exported fold "
+                              "checkpoints (not trained) — see "
+                              "ensemble_eval.json for all modes",
+            },
+            "per_fold": [
+                {"fold": k, "test_acc": f["accuracy"], "test_auc": f["auc"]}
+                for k, f in summary["folds"].items()],
+        }
+        path.write_text(json.dumps(zoo, indent=2, default=str))
+        print(f"merged cnn_ensemble row into {path}")
 
 
 if __name__ == "__main__":
