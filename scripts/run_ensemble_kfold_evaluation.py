@@ -23,21 +23,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def _demo_fold_pipelines(meta: dict, folds: int, batch: int, img_size: int):
     """Rebuild the zoo demo's corpus + rotating test splits from exported
-    checkpoint metadata (scripts/run_zoo_kfold_demo.py rotating_folds)."""
-    import numpy as np
-
+    checkpoint metadata. fold_scheme in the metadata picks the rotation:
+    'stratified' (round-5+ exports, reference prepare_kfold_data semantics)
+    vs the legacy permute-and-chunk of earlier exports."""
     from thyroid_tpu.data import DevicePipeline, generate_corpus_arrays
+    from thyroid_tpu.data.corpus import rotating_fold_indices
 
     imgs, labels = generate_corpus_arrays(
         n_images=int(meta["n_images"]), size=int(meta.get("size", 512)),
         difficulty=float(meta["difficulty"]),
         label_noise=float(meta["label_noise"]))
-    order = np.random.RandomState(int(meta.get("fold_seed", 42))) \
-        .permutation(len(labels))
-    chunks = np.array_split(order, folds)
+    splits = rotating_fold_indices(
+        labels, folds, seed=int(meta.get("fold_seed", 42)),
+        stratified=meta.get("fold_scheme") == "stratified")
     pipelines = {}
-    for i in range(folds):
-        te = chunks[i]
+    for i, (_, _, te) in enumerate(splits):
         pipelines[i + 1] = DevicePipeline(
             imgs[te], labels[te], batch_size=batch, img_size=img_size,
             quality_preprocessing=True, train=False)
@@ -122,14 +122,20 @@ def main():
         path = Path(args.summary_row)
         zoo = json.loads(path.read_text()) if path.exists() else {}
         accs = [f["accuracy"] for f in summary["folds"].values()]
-        aucs = [f["auc"] for f in summary["folds"].values()]
+        # mirror _agg in thyroid_tpu/analysis/evaluation.py: a single-class
+        # test fold yields NaN AUC, and json.dumps would emit an invalid
+        # NaN token — filter to finite values, None when empty
+        aucs = [f["auc"] for f in summary["folds"].values()
+                if np.isfinite(f["auc"])]
         zoo["cnn_ensemble"] = {
             "avg_accuracy": float(np.mean(accs)),
             "std_accuracy": float(np.std(accs)),
-            "avg_test_auc": float(np.mean(aucs)),
+            "avg_test_auc": float(np.mean(aucs)) if aucs else None,
             "num_successful_folds": len(accs),
             "hparams": {
-                "members": args.members, "weights": args.weights,
+                # the normalized weights actually applied (w / w.sum()),
+                # not the raw CLI values
+                "members": args.members, "weights": summary["weights"],
                 "mode": "weighted_average",
                 "provenance": "ensemble k-fold evaluation of exported fold "
                               "checkpoints (not trained) — see "

@@ -107,7 +107,7 @@ def main() -> None:
             imgs, labels = generate_corpus_arrays(
                 n_images=args.n_images, size=args.size,
                 difficulty=difficulty, label_noise=args.label_noise)
-            folds = rotating_folds(len(labels), args.folds)
+            folds = rotating_folds(labels, args.folds)
             tr = [DevicePipeline(imgs[ti], labels[ti], batch_size=args.batch,
                                  img_size=args.img_size,
                                  quality_preprocessing=True, train=True, **kw)

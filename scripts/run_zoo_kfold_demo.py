@@ -37,18 +37,24 @@ DEFAULT_MODELS = [
 ]
 
 
-def rotating_folds(n: int, k: int, seed: int = 42):
-    """Reference rotation: test=fold i, val=fold (i+1)%k, train=rest
-    (reference: scripts/prepare_kfold_data.py:52-63)."""
-    order = np.random.RandomState(seed).permutation(n)
-    chunks = np.array_split(order, k)
-    folds = []
-    for i in range(k):
-        test = chunks[i]
-        val = chunks[(i + 1) % k]
-        train = np.concatenate([chunks[j] for j in range(k)
-                                if j not in (i, (i + 1) % k)])
-        folds.append((train, val, test))
+def rotating_folds(labels, k: int, seed: int = 42):
+    """Stratified reference rotation: test=fold i, val=fold (i+1)%k,
+    train=rest, chunked PER CLASS (reference: scripts/prepare_kfold_data.py:30-73;
+    the unstratified permute-and-chunk used through round 4 let a 90-image
+    test chunk drift several points from 50/50, inflating fold variance)."""
+    from thyroid_tpu.data.corpus import rotating_fold_indices
+
+    labels = np.asarray(labels)
+    folds = rotating_fold_indices(labels, k, seed=seed, stratified=True)
+    # balance assertion: every test chunk holds the corpus class ratio ±1
+    classes = np.unique(labels)
+    for _, _, test in folds:
+        for c in classes:
+            want = len(test) * float(np.mean(labels == c))
+            got = int(np.sum(labels[test] == c))
+            assert abs(got - want) <= 1, (
+                f"unbalanced fold: class {c} has {got} of {len(test)} "
+                f"(expected ~{want:.1f})")
     return folds
 
 
@@ -158,7 +164,7 @@ def main() -> None:
     imgs, labels = generate_corpus_arrays(
         n_images=args.n_images, size=args.size, difficulty=args.difficulty,
         label_noise=args.label_noise)
-    folds = rotating_folds(len(labels), args.folds)
+    folds = rotating_folds(labels, args.folds)
     platform = jax.devices()[0].platform
     print(f"platform={platform} corpus={len(labels)}x{args.size}² "
           f"difficulty={args.difficulty} noise={args.label_noise}",
@@ -252,7 +258,8 @@ def main() -> None:
                        "n_images": args.n_images,
                        "size": args.size,
                        "folds": args.folds,
-                       "fold_seed": 42}
+                       "fold_seed": 42,
+                       "fold_scheme": "stratified"}
         t0 = time.time()
         try:
             tr, va, te = pipes_for(img, "vit" if use_vit_recipe else "std")
@@ -297,14 +304,23 @@ def main() -> None:
                             "mixup_alpha": tcfg.get("mixup_alpha", 0.0),
                             "cutmix_alpha": tcfg.get("cutmix_alpha", 0.0),
                             "mixup_prob": tcfg.get("mixup_prob"),
-                            "ema_decay": tcfg.get("ema_decay")},
+                            "ema_decay": tcfg.get("ema_decay"),
+                            "sequential": bool(args.sequential)},
+                # per-row corpus provenance (r3's mixed-corpus artifact came
+                # from relying on last-invocation _meta — every row records
+                # exactly the corpus + fold scheme it trained on)
+                "corpus": dict(corpus_meta),
                 "per_fold": [
                     {k: v for k, v in r.items() if k != "history"}
                     for r in results],
             }
         except Exception as e:  # keep sweeping — reference does the same
             rec = {"error": f"{type(e).__name__}: {e}",
-                   "wall_minutes": round((time.time() - t0) / 60.0, 2)}
+                   "wall_minutes": round((time.time() - t0) / 60.0, 2),
+                   "hparams": {"batch": args.batch, "lr": lr,
+                               "epochs_config": epochs,
+                               "sequential": bool(args.sequential)},
+                   "corpus": dict(corpus_meta)}
         summary[name] = rec
         out_path.write_text(json.dumps(summary, indent=2, default=str))
         acc = rec.get("avg_accuracy")

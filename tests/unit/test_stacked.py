@@ -69,6 +69,32 @@ class TestStackedKFold:
                                                      abs=5e-2)
             assert last["val_acc"] == pytest.approx(seq["val_acc"], abs=0.13)
 
+    def test_per_fold_best_snapshot(self):
+        """Each fold's restored state is that fold's OWN best epoch (the
+        reference's per-fold ModelCheckpoint — kfold_experiment.py:285-316),
+        not the single best-MEAN epoch: re-evaluating the post-fit states
+        must reproduce every fold's best_val_metric exactly (eval is
+        deterministic), and best_epoch must be each fold's own argmax."""
+        tcfg = {**TCFG, "epochs": 4}
+        trainer_cfg = {**TRAINER_CFG, "max_epochs": 4}
+        folds = self._folds()
+        st = StackedKFoldTrainer(
+            MCFG, tcfg, trainer_cfg,
+            [fd["train"] for fd in folds], [fd["val"] for fd in folds],
+            output_dir="/tmp/stacked_best")
+        results = st.fit()
+        for r in results:
+            per_epoch = [h["val_acc"] for h in r["history"]]
+            best = max(per_epoch)
+            assert r["best_val_metric"] == pytest.approx(best)
+            # strict-improvement rule → first epoch reaching the max
+            assert r["best_epoch"] == per_epoch.index(best)
+        post = st.eval_epoch(st.val_caches, st.val_labels,
+                             st.val_pipelines[0], "val_")
+        for r, m in zip(results, post):
+            assert m["val_acc"] == pytest.approx(r["best_val_metric"],
+                                                 abs=1e-6)
+
     def test_reset_reuses_compiled_programs(self):
         """reset() swaps same-shape corpora without retracing the stacked
         train/eval programs (the axon-recompile saver for difficulty

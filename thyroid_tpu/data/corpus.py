@@ -73,6 +73,38 @@ def generate_splits(
     return {"train": train, "val": val, "test": test}
 
 
+def rotating_fold_indices(
+    labels: np.ndarray,
+    k: int,
+    seed: int = 42,
+    stratified: bool = True,
+) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """In-memory rotating folds → [(train, val, test)] per fold: test=fold i,
+    val=fold (i+1)%k, train=rest (reference: scripts/prepare_kfold_data.py:30-73).
+
+    stratified=True chunks PER CLASS (StratifiedKFold, matching the
+    reference's stratified rotation and this repo's split-file generator);
+    stratified=False is the legacy permute-and-chunk used by demo artifacts
+    exported before round 5 — kept so their recorded folds stay
+    reproducible from checkpoint metadata."""
+    labels = np.asarray(labels)
+    n = len(labels)
+    if stratified and len(np.unique(labels)) > 1:
+        skf = StratifiedKFold(n_splits=k, shuffle=True, random_state=seed)
+        chunks = [test for _, test in skf.split(np.arange(n), labels)]
+    else:
+        order = np.random.RandomState(seed).permutation(n)
+        chunks = np.array_split(order, k)
+    folds = []
+    for i in range(k):
+        test = chunks[i]
+        val = chunks[(i + 1) % k]
+        train = np.concatenate([chunks[j] for j in range(k)
+                                if j not in (i, (i + 1) % k)])
+        folds.append((train, val, test))
+    return folds
+
+
 def generate_kfold_splits(
     labels: np.ndarray,
     k: int,

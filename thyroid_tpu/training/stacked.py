@@ -18,9 +18,12 @@ Semantics vs the sequential sweep (documented deviations):
 - every fold runs the same number of epochs; early stopping acts on the
   MEAN monitored metric across folds (per-fold patience would desynchronise
   the single program);
-- "test the best checkpoint" is preserved by snapshotting the stacked
-  states to host whenever the mean monitor improves and restoring that
-  snapshot for the test pass.
+- "test the best checkpoint" is preserved PER FOLD: a device-side snapshot
+  keeps, for each fold independently, the state from that fold's own best
+  epoch (a `jnp.where` select on the fold axis each improving epoch —
+  matching the reference's per-fold ModelCheckpoint semantics,
+  reference: src/experiment/kfold_experiment.py:285-316), and the test
+  pass / checkpoint export run on those per-fold-best states.
 
 Requires equal split shapes across folds (true for the rotating scheme
 whenever k divides the corpus; StackedShapeError otherwise — callers fall
@@ -331,8 +334,12 @@ class StackedKFoldTrainer:
         patience = self.cfg.early_stopping_patience
         root_rng = jax.random.PRNGKey(self.cfg.seed)
         best_mean = None
-        best_epoch = -1
         best_snap = None
+        # per-fold running best of the monitored metric (host scalars; the
+        # state selection itself stays on device) + each fold's best epoch
+        sign = 1.0 if mode == "max" else -1.0
+        best_vec = np.full((self.k,), -np.inf)
+        best_epoch_vec = np.full((self.k,), -1, dtype=int)
         bad = 0
         history: List[List[Dict[str, float]]] = []
         epochs = self.trainer.epochs
@@ -347,28 +354,52 @@ class StackedKFoldTrainer:
                 fm["epoch"] = epoch
                 fm["time_s"] = time.time() - t0
             history.append(fold_metrics)
-            vals = [m.get(monitor) for m in fold_metrics]
-            vals = [v for v in vals if v is not None and np.isfinite(v)]
-            mean_v = float(np.mean(vals)) if vals else None
+            raw_vals = np.array(
+                [np.nan if m.get(monitor) is None else float(m[monitor])
+                 for m in fold_metrics])
+            vals = raw_vals[np.isfinite(raw_vals)]
+            mean_v = float(np.mean(vals)) if vals.size else None
             logger.info("stacked epoch %d: mean %s=%s", epoch, monitor,
                         None if mean_v is None else round(mean_v, 4))
-            improved = mean_v is not None and (
-                best_mean is None or
-                (mean_v > best_mean if mode == "max" else mean_v < best_mean))
-            if improved:
-                best_mean, best_epoch, bad = mean_v, epoch, 0
-                # snapshot the eval-relevant leaves ON DEVICE. A
+            # per-fold improvement mask (NaN compares false → never improves)
+            with np.errstate(invalid="ignore"):
+                fold_improved = sign * raw_vals > best_vec
+            if fold_improved.any():
+                best_vec = np.where(fold_improved, sign * raw_vals, best_vec)
+                best_epoch_vec = np.where(fold_improved, epoch, best_epoch_vec)
+                # snapshot the eval-relevant leaves ON DEVICE, selecting only
+                # the improved folds with a jnp.where on the fold axis (the
+                # reference's per-fold ModelCheckpoint semantics). A
                 # jax.device_get here costs a multi-GB host readback over
                 # the axon tunnel (~50 MB/s) on EVERY improving epoch —
                 # measured 60-80 s/epoch for stacked swin_tiny+EMA, vs ~6 s
                 # for the train+eval dispatches themselves. opt_state is
                 # excluded: post-fit only eval/test/export run, which need
-                # params/EMA/batch_stats.
-                best_snap = jax.tree.map(
-                    jnp.copy,
-                    {"params": self.states.params,
-                     "ema_params": self.states.ema_params,
-                     "batch_stats": self.states.batch_stats})
+                # params/EMA/batch_stats (+ step for export metadata);
+                # resuming OPTIMISATION from self.states after fit() would
+                # pair best params with last-epoch opt_state — use the
+                # engine's sequential path for that.
+                current = {"params": self.states.params,
+                           "ema_params": self.states.ema_params,
+                           "batch_stats": self.states.batch_stats,
+                           "step": self.states.step}
+                if best_snap is None:
+                    best_snap = jax.tree.map(jnp.copy, current)
+                else:
+                    mask = jnp.asarray(fold_improved)
+
+                    def sel(new, old):
+                        m = mask.reshape((self.k,) + (1,) * (new.ndim - 1))
+                        return jnp.where(m, new, old)
+
+                    best_snap = jax.tree.map(sel, current, best_snap)
+            # early stopping still acts on the MEAN monitor (documented
+            # deviation: per-fold patience would desynchronise the program)
+            mean_improved = mean_v is not None and (
+                best_mean is None or
+                (mean_v > best_mean if mode == "max" else mean_v < best_mean))
+            if mean_improved:
+                best_mean, bad = mean_v, 0
             else:
                 bad += 1
             if patience and bad >= patience:
@@ -378,12 +409,10 @@ class StackedKFoldTrainer:
             self.states = self.states.replace(
                 params=best_snap["params"],
                 ema_params=best_snap["ema_params"],
-                batch_stats=best_snap["batch_stats"])
+                batch_stats=best_snap["batch_stats"],
+                step=best_snap["step"])
 
         results: List[Dict[str, Any]] = []
-        last = history[-1] if history else [{} for _ in range(self.k)]
-        best_row = history[best_epoch] if 0 <= best_epoch < len(history) \
-            else last
         test_metrics = None
         if self.test_pipelines:
             tc = jnp.stack([p.cache for p in self.test_pipelines])
@@ -393,13 +422,17 @@ class StackedKFoldTrainer:
                 tl = jax.device_put(tl, self._sharding)
             test_metrics = self.eval_epoch(tc, tl, self.test_pipelines[0],
                                            "test_")
+        last = history[-1] if history else [{} for _ in range(self.k)]
         for f in range(self.k):
+            be = int(best_epoch_vec[f])
+            best_row_f = history[be][f] if 0 <= be < len(history) else last[f]
             r: Dict[str, Any] = {}
-            r.update({k: v for k, v in best_row[f].items()
+            r.update({k: v for k, v in best_row_f.items()
                       if k.startswith("val_")})
             if test_metrics is not None:
                 r.update(test_metrics[f])
-            r["best_val_metric"] = best_row[f].get(monitor)
+            r["best_val_metric"] = best_row_f.get(monitor)
+            r["best_epoch"] = be
             r["epochs_trained"] = len(history)
             r["stacked"] = True
             r["history"] = [row[f] for row in history]
