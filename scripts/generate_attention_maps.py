@@ -14,6 +14,11 @@ def main():
     p.add_argument("--model", required=True)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--demo-corpus", action="store_true",
+                   help="rebuild the zoo demo corpus from checkpoint "
+                        "metadata; sample the checkpoint's fold test split")
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--output-dir", default="outputs/attention")
     args = p.parse_args()
 
@@ -29,10 +34,19 @@ def main():
     from thyroid_tpu.models import ModelRegistry
     from thyroid_tpu.training.checkpoint import load_checkpoint
 
-    cfg = compose(overrides=[f"dataset={args.dataset}"])
-    pipe = create_data_loaders(cfg.dataset.to_dict(), splits=("test",))["test"]
-    model = ModelRegistry.create_model({"name": args.model})
-    variables, _ = load_checkpoint(args.checkpoint)
+    variables, meta = load_checkpoint(args.checkpoint)
+    if args.demo_corpus:
+        from run_ensemble_kfold_evaluation import _demo_fold_pipelines
+
+        pipes = _demo_fold_pipelines(meta, int(meta.get("folds", 5)),
+                                     args.batch, args.img_size)
+        pipe = pipes[int(meta.get("fold", 1))]
+    else:
+        cfg = compose(overrides=[f"dataset={args.dataset}"])
+        pipe = create_data_loaders(cfg.dataset.to_dict(),
+                                   splits=("test",))["test"]
+    model = ModelRegistry.create_model(meta.get("model_config")
+                                       or {"name": args.model})
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
     batch = next(iter(pipe.epoch(jax.random.PRNGKey(0))))
