@@ -44,8 +44,13 @@ def main():
         cfg = compose(overrides=[f"dataset={args.dataset}"])
         pipe = create_data_loaders(cfg.dataset.to_dict(),
                                    splits=(args.split,))[args.split]
-    model = ModelRegistry.create_model(meta.get("model_config")
-                                       or {"name": args.model})
+    mcfg = dict(meta.get("model_config") or {"name": args.model})
+    # Grad-CAM differentiates a train=False forward; the serving-only fused
+    # kernels (token-2D LN+QKV, swin block-attention epilogue) have no
+    # custom_vjp — force the differentiable (and numerically exact) XLA path
+    mcfg["token_kernels"] = False
+    mcfg["use_pallas_attention"] = False
+    model = ModelRegistry.create_model(mcfg)
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
     batch = next(iter(pipe.epoch(jax.random.PRNGKey(0))))
