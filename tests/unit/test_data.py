@@ -34,6 +34,33 @@ class TestCorpusScan:
 
 @pytest.mark.unit
 class TestSplits:
+    def test_rotating_fold_indices_stratified(self):
+        """Stratified rotation keeps each chunk at the corpus class ratio
+        (reference: scripts/prepare_kfold_data.py:30-73); legacy mode
+        reproduces the pre-round-5 permute-and-chunk exactly."""
+        from thyroid_tpu.data.corpus import rotating_fold_indices
+
+        labels = np.array([0] * 225 + [1] * 225)
+        folds = rotating_fold_indices(labels, 5, seed=42, stratified=True)
+        assert len(folds) == 5
+        for train, val, test in folds:
+            # rotation covers the corpus exactly once per fold
+            assert len(np.concatenate([train, val, test])) == 450
+            assert len(np.unique(np.concatenate([train, val, test]))) == 450
+            # per-class balance within 1 image of 50/50
+            for part in (train, val, test):
+                c0 = int(np.sum(labels[part] == 0))
+                assert abs(c0 - len(part) / 2) <= 1
+        # test chunks tile the corpus across folds
+        all_test = np.concatenate([f[2] for f in folds])
+        assert len(np.unique(all_test)) == 450
+
+        legacy = rotating_fold_indices(labels, 5, seed=7, stratified=False)
+        order = np.random.RandomState(7).permutation(450)
+        chunks = np.array_split(order, 5)
+        np.testing.assert_array_equal(legacy[0][2], chunks[0])
+        np.testing.assert_array_equal(legacy[0][1], chunks[1])
+
     def test_stratified_disjoint(self):
         labels = np.array([0] * 50 + [1] * 50)
         s = generate_splits(labels, 0.15, 0.15, random_seed=42)
