@@ -73,7 +73,12 @@ def _run_sequential(name, mcfg, tcfg, trainer_cfg, tr, va, te, out_dir,
         fold_dir = out_dir / "zoo_ckpts" / name / f"fold_{f + 1}"
         trainer = Trainer(
             ModelRegistry.create_model(mcfg), mcfg, tcfg,
-            {**trainer_cfg, "enable_checkpointing": True, "save_top_k": 1},
+            # save_last=False: the -latest alias would device_get + write
+            # the FULL state EVERY epoch — ~15-20 s/epoch for vit_base over
+            # the ~50 MB/s axon tunnel vs a 1.1 s on-device epoch (measured
+            # round 5). Only improving epochs pay the readback (top-1 best).
+            {**trainer_cfg, "enable_checkpointing": True, "save_top_k": 1,
+             "save_last": False},
             steps_per_epoch=tr[f].steps_per_epoch(),
             output_dir=str(fold_dir))
         res = trainer.fit(tr[f], va[f],
